@@ -1,0 +1,78 @@
+"""Benchmark: edges/s/chip for the 5-layer QA-GNN message-passing fwd+bwd.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no throughput numbers (its only perf instrumentation
+is an ms/batch print, reference qagnn.py:282), so vs_baseline is reported
+against a fixed nominal target of 1e8 edges/s/chip — a conservative estimate
+of the reference's CUDA PyG pipeline on a contemporary GPU for this model
+shape (6k-edge subgraphs, dim 200, 4 heads, 5 layers).
+
+Run on whatever JAX platform is active (real TPU under the driver; CPU works
+but is slow). Shapes mirror the CSQA paper config: 200-node subgraphs,
+4096-edge budget, dim 200, k=5, batch of 64 graphs = 1 question-batch of
+~12-13 questions x 5 choices.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from qagnn_tpu.models.gnn import QAGNNMessagePassing
+
+    G, N, E, D, K = 64, 200, 4096, 200, 5
+    N_NTYPE, N_ETYPE = 4, 38
+
+    rng = np.random.default_rng(0)
+    H = jnp.asarray(rng.standard_normal((G, N, D)), jnp.float32)
+    node_type = jnp.asarray(rng.integers(0, N_NTYPE, (G, N)), jnp.int32)
+    node_score = jnp.asarray(rng.standard_normal((G, N)), jnp.float32)
+    edge_src = jnp.asarray(rng.integers(0, N, (G, E)), jnp.int32)
+    edge_dst = jnp.asarray(rng.integers(0, N, (G, E)), jnp.int32)
+    edge_type = jnp.asarray(rng.integers(0, N_ETYPE, (G, E)), jnp.int32)
+    edge_mask = jnp.ones((G, E), bool)
+
+    model = QAGNNMessagePassing(k=K, n_ntype=N_NTYPE, n_etype=N_ETYPE,
+                                hidden_size=D, dropout=0.0)
+    variables = model.init(jax.random.PRNGKey(0), H, node_type, node_score,
+                           edge_src, edge_dst, edge_type, edge_mask,
+                           train=False)
+
+    def loss_fn(params, H):
+        out = model.apply({"params": params,
+                           "batch_stats": variables["batch_stats"]},
+                          H, node_type, node_score, edge_src, edge_dst,
+                          edge_type, edge_mask, train=False)
+        return jnp.sum(out * out)
+
+    step = jax.jit(jax.grad(loss_fn, argnums=(0, 1)))
+
+    # warmup/compile
+    g = step(variables["params"], H)
+    jax.block_until_ready(g)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        g = step(variables["params"], H)
+    jax.block_until_ready(g)
+    dt = (time.perf_counter() - t0) / iters
+
+    edges_per_step = G * E * K  # real edges aggregated per fwd (+bwd) pass
+    value = edges_per_step / dt
+    baseline = 1e8
+    print(json.dumps({
+        "metric": "gnn_5layer_fwd_bwd_edges_per_s_per_chip",
+        "value": round(value, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(value / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,253 @@
+"""Training / evaluation driver.
+
+Replaces reference qagnn.py:41-433 (main/train/eval_detail): epoch loop with
+encoder freeze schedule, per-epoch dev/test accuracy, best-dev checkpointing,
+early stopping, log.csv and per-epoch test-prediction CSVs — but with the
+whole hot path inside one jitted TPU program and orbax checkpoints carrying
+params + optimizer state + step (the reference saves weights only,
+reference qagnn.py:317-333).
+
+Run:  python -m qagnn_tpu.cli --dataset csqa --encoder roberta-large ...
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import sys
+import time
+
+import numpy as np
+
+from qagnn_tpu.utils.config import TrainConfig, config_from_argv
+
+
+def build_model_and_data(cfg: TrainConfig, tokenizer=None):
+    """Construct dataloader + model from a resolved TrainConfig."""
+    import jax.numpy as jnp
+
+    from qagnn_tpu.data.loader import QAGNNDataLoader
+    from qagnn_tpu.models.qagnn import LMQAGNN
+    from qagnn_tpu.models.text_encoder import TextEncoder, TextEncoderConfig
+
+    dataset = QAGNNDataLoader(
+        train_statements=cfg.train_statements, train_adj=cfg.train_adj,
+        dev_statements=cfg.dev_statements, dev_adj=cfg.dev_adj,
+        test_statements=cfg.test_statements, test_adj=cfg.test_adj,
+        model_name=cfg.encoder, max_node_num=cfg.max_node_num,
+        max_seq_len=cfg.max_seq_len, batch_size=cfg.batch_size,
+        eval_batch_size=cfg.eval_batch_size, is_inhouse=cfg.inhouse,
+        inhouse_train_qids_path=cfg.inhouse_train_qids,
+        subsample=cfg.subsample, seed=cfg.seed, tokenizer=tokenizer)
+
+    # entity embeddings (reference qagnn.py:124-125)
+    cp_embs = [np.load(p) for p in cfg.ent_emb_paths]
+    cp_emb = np.concatenate(cp_embs, axis=1).astype(np.float32)
+    n_concept, concept_in_dim = cp_emb.shape
+
+    enc_cfg = encoder_config_for(cfg)
+    model = LMQAGNN(
+        encoder=TextEncoder(enc_cfg), sent_dim=enc_cfg.hidden_size,
+        k=cfg.k, n_ntype=4, n_etype=cfg.num_relation,
+        n_concept=n_concept, concept_dim=cfg.gnn_dim,
+        concept_in_dim=concept_in_dim, n_attention_head=cfg.att_head_num,
+        fc_dim=cfg.fc_dim, n_fc_layer=cfg.fc_layer_num,
+        p_emb=cfg.dropouti, p_gnn=cfg.dropoutg, p_fc=cfg.dropoutf,
+        init_range=cfg.init_range)
+    return dataset, model, cp_emb
+
+
+def encoder_config_for(cfg: TrainConfig):
+    import jax.numpy as jnp
+
+    from qagnn_tpu.models.text_encoder import TextEncoderConfig
+
+    dtype = jnp.bfloat16 if cfg.encoder_dtype == "bfloat16" else jnp.float32
+    name = cfg.encoder
+    if name == "roberta-large":
+        return TextEncoderConfig.roberta_large(dtype=dtype)
+    if name == "roberta-base":
+        return TextEncoderConfig.roberta_base(dtype=dtype)
+    if "SapBERT" in name or name.startswith("bert-base"):
+        return TextEncoderConfig.bert_base(dtype=dtype)
+    if name == "bert-large-uncased" or name == "bert-large-cased":
+        return TextEncoderConfig.bert_base(hidden_size=1024, num_layers=24,
+                                           num_heads=16,
+                                           intermediate_size=4096, dtype=dtype)
+    if name == "tiny":  # tests / smoke runs
+        return TextEncoderConfig.tiny(dtype=dtype)
+    raise ValueError(f"unsupported encoder {name!r} "
+                     "(roberta/bert/SapBERT families implemented)")
+
+
+def train(cfg: TrainConfig) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from qagnn_tpu.train.optim import build_train_optimizer
+    from qagnn_tpu.train.step import (
+        accuracy, init_train_state, make_eval_step, make_train_step)
+    from qagnn_tpu.utils.checkpoint import save_checkpoint
+
+    os.makedirs(cfg.save_dir, exist_ok=True)
+    cfg.export(os.path.join(cfg.save_dir, "config.json"))
+    log_path = os.path.join(cfg.save_dir, "log.csv")
+    with open(log_path, "w") as f:
+        f.write("step,dev_acc,test_acc\n")
+
+    dataset, model, cp_emb = build_model_and_data(cfg)
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    _, sample = next(dataset.train())
+    steps_per_epoch = max(1, dataset.train_size() // cfg.batch_size)
+
+    # params + optimizer
+    import jax.tree_util as jtu
+    variables = model.init(rng, sample.lm_inputs, sample.graph)
+    params = variables["params"]
+
+    # frozen entity table mask (reference --freeze_ent_emb, qagnn.py:63)
+    frozen_mask = None
+    if cfg.freeze_ent_emb:
+        def is_table(path, leaf):
+            keys = [getattr(k, "key", str(k)) for k in path]
+            return "concept_emb" in keys and "embedding" in keys
+        frozen_mask = jtu.tree_map_with_path(is_table, params)
+
+    optimizer = build_train_optimizer(
+        params, optim=cfg.optim, encoder_lr=cfg.encoder_lr,
+        decoder_lr=cfg.decoder_lr, weight_decay=cfg.weight_decay,
+        max_grad_norm=cfg.max_grad_norm, lr_schedule=cfg.lr_schedule,
+        warmup_steps=int(cfg.warmup_steps),
+        total_steps=cfg.n_epochs * steps_per_epoch,
+        frozen_param_mask=frozen_mask)
+
+    from qagnn_tpu.train.step import TrainState
+    pretrained = {"decoder": {"concept_emb": {"emb": {
+        "embedding": jnp.asarray(cp_emb)}}}}
+    from qagnn_tpu.train.step import _merge_pretrained
+    params = _merge_pretrained(params, pretrained)
+    state = TrainState(params=params,
+                       batch_stats=variables.get("batch_stats", {}),
+                       opt_state=optimizer.init(params),
+                       step=jnp.zeros([], jnp.int32), rng=rng)
+
+    num_mb = max(1, cfg.batch_size // cfg.mini_batch_size) \
+        if cfg.mini_batch_size > 0 else 1
+    train_step = make_train_step(model, optimizer, loss_name=cfg.loss,
+                                 num_microbatches=num_mb,
+                                 encoder_layer_id=cfg.encoder_layer)
+    eval_step = make_eval_step(model, encoder_layer_id=cfg.encoder_layer)
+
+    def evaluate(split_iter):
+        correct, total = 0, 0
+        preds = []
+        for qids, batch, pad in split_iter:
+            logits = np.asarray(eval_step(state.params, state.batch_stats,
+                                          batch.lm_inputs, batch.graph))
+            n = logits.shape[0] - pad
+            correct += int((logits[:n].argmax(1) ==
+                            np.asarray(batch.labels[:n])).sum())
+            total += n
+            preds.extend(zip(qids, logits[:n].argmax(1).tolist()))
+        return (correct / max(total, 1)), preds
+
+    best_dev_acc, final_test_acc, best_dev_epoch = 0.0, 0.0, 0
+    global_step, total_loss = 0, 0.0
+    start = time.time()
+
+    for epoch in range(cfg.n_epochs):
+        encoder_trainable = (epoch >= cfg.unfreeze_epoch
+                             and epoch < cfg.refreeze_epoch)
+        for qids, batch in dataset.train():
+            state, metrics = train_step(state, batch,
+                                        jnp.asarray(encoder_trainable))
+            total_loss += float(metrics["loss"])
+            if (global_step + 1) % cfg.log_interval == 0:
+                ms = 1000 * (time.time() - start) / cfg.log_interval
+                print(f"| step {global_step:5} | loss "
+                      f"{total_loss / cfg.log_interval:7.4f} | ms/batch "
+                      f"{ms:7.2f} |", flush=True)
+                total_loss, start = 0.0, time.time()
+            global_step += 1
+
+        dev_acc, _ = evaluate(dataset.dev())
+        test_acc, test_preds = (0.0, [])
+        if dataset.test_size() > 0:
+            test_acc, test_preds = evaluate(dataset.test())
+        print(f"| epoch {epoch:3} | dev_acc {dev_acc:7.4f} | test_acc "
+              f"{test_acc:7.4f} |", flush=True)
+        with open(log_path, "a") as f:
+            f.write(f"{global_step},{dev_acc},{test_acc}\n")
+
+        if cfg.save_model and test_preds:
+            ppath = os.path.join(cfg.save_dir,
+                                 f"predictions_test_e{epoch}.csv")
+            with open(ppath, "w") as f:
+                for qid, p in test_preds:
+                    f.write(f"{qid},{chr(ord('A') + int(p))}\n")
+
+        if dev_acc >= best_dev_acc:
+            best_dev_acc, final_test_acc, best_dev_epoch = (
+                dev_acc, test_acc, epoch)
+            if cfg.save_model:
+                save_checkpoint(os.path.join(cfg.save_dir, "checkpoint"),
+                                state, cfg)
+        if epoch > cfg.unfreeze_epoch and \
+                epoch - best_dev_epoch >= cfg.max_epochs_before_stop:
+            break
+
+    print(f"| best dev_acc {best_dev_acc:.4f} (epoch {best_dev_epoch}) | "
+          f"final test_acc {final_test_acc:.4f} |")
+    return {"best_dev_acc": best_dev_acc, "final_test_acc": final_test_acc,
+            "best_dev_epoch": best_dev_epoch}
+
+
+def eval_detail(cfg: TrainConfig) -> dict:
+    """Standalone evaluation from a checkpoint (reference qagnn.py:343-430)."""
+    import jax.numpy as jnp
+
+    from qagnn_tpu.train.step import make_eval_step
+    from qagnn_tpu.utils.checkpoint import load_checkpoint
+
+    state_dict, saved_cfg = load_checkpoint(cfg.load_model_path)
+    dataset, model, _ = build_model_and_data(saved_cfg)
+    eval_step = make_eval_step(model, encoder_layer_id=saved_cfg.encoder_layer)
+
+    params, batch_stats = state_dict["params"], state_dict["batch_stats"]
+
+    def evaluate(split_iter, out_csv=None):
+        correct, total, rows = 0, 0, []
+        for qids, batch, pad in split_iter:
+            logits = np.asarray(eval_step(params, batch_stats,
+                                          batch.lm_inputs, batch.graph))
+            n = logits.shape[0] - pad
+            labels = np.asarray(batch.labels[:n])
+            correct += int((logits[:n].argmax(1) == labels).sum())
+            total += n
+            rows.extend((q, chr(ord("A") + int(p)))
+                        for q, p in zip(qids, logits[:n].argmax(1)))
+        if out_csv:
+            with open(out_csv, "w") as f:
+                csv.writer(f).writerows(rows)
+        return correct / max(total, 1)
+
+    dev_acc = evaluate(dataset.dev())
+    test_acc = evaluate(dataset.test(),
+                        os.path.join(cfg.save_dir, "predictions_test.csv")) \
+        if dataset.test_size() else 0.0
+    print(f"| dev_acc {dev_acc:.4f} | test_acc {test_acc:.4f} |")
+    return {"dev_acc": dev_acc, "test_acc": test_acc}
+
+
+def main(argv=None):
+    cfg = config_from_argv(argv)
+    if cfg.mode == "train":
+        return train(cfg)
+    if cfg.mode == "eval_detail":
+        return eval_detail(cfg)
+    raise ValueError(f"invalid mode {cfg.mode!r}")
+
+
+if __name__ == "__main__":
+    main()

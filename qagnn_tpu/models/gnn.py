@@ -1,0 +1,251 @@
+"""Relation-aware GNN: GATConvE layer + k-layer message-passing module.
+
+TPU-native re-design of the reference's GNN core (reference
+modeling/modeling_qagnn.py:7-95 QAGNN_Message_Passing and :380-484 GATConvE).
+Same math, different execution strategy:
+
+  * Fixed shapes everywhere — edges are padded (G, E) arrays with masks
+    (see qagnn_tpu.graph.container.BatchedGraphs); no dynamic edge counts.
+  * Self-loops are never materialized as edges; they run as a dense (N,) path
+    joined analytically in the segment softmax
+    (qagnn_tpu.ops.segment.segment_softmax_with_self_loops).
+  * The shared edge encoder's inputs (relation one-hot + head/tail type
+    one-hots) are IDENTICAL for every one of the k layers, so edge embeddings
+    are computed once and reused — the reference recomputes them k times
+    (reference modeling/modeling_qagnn.py:433 inside each layer's forward).
+    BatchNorm running stats stay faithful via MaskedBatchNorm(num_updates=k).
+  * The per-edge projections linear_key([x_i ‖ e]) / linear_msg([x_j ‖ e]) /
+    linear_query(x_j) (reference modeling/modeling_qagnn.py:464-466) are
+    decomposed into node-level GEMMs (N rows) gathered per edge plus an
+    edge-level GEMM on the edge embedding (E rows). Linear-over-concat equals
+    the sum of linears, so results are bit-identical in exact arithmetic, and
+    the x-dependent 2/3 of the FLOPs shrink by E/N ≈ 30x.
+"""
+
+from __future__ import annotations
+
+import math
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from qagnn_tpu.models.layers import gelu, normal_init
+from qagnn_tpu.models.norm import MaskedBatchNorm
+from qagnn_tpu.ops.gat_attention import relational_gat_attention
+
+Array = jax.Array
+
+
+class EdgeEncoder(nn.Module):
+    """Shared edge-feature MLP: Linear -> BatchNorm -> ReLU -> Linear.
+
+    Matches reference modeling/modeling_qagnn.py:30. Input rows are
+    [one_hot(edge_type, n_etype+1) ‖ one_hot(head_type,4) ‖ one_hot(tail_type,4)]
+    for real edges and the self-loop variant (relation index n_etype) for nodes.
+    BatchNorm statistics are taken over the union of masked edge rows and ALL
+    node self-loop rows — exactly the row population the reference's dynamic
+    edge list (reference modeling/modeling_qagnn.py:431-433) would produce.
+    """
+
+    hidden_size: int
+    num_updates: int = 1  # k, for running-stat parity with k reference calls
+    init_std: float = 0.02
+
+    @nn.compact
+    def __call__(self, edge_feat: Array, weight: Array, *, train: bool) -> Array:
+        x = nn.Dense(self.hidden_size, kernel_init=normal_init(self.init_std),
+                     name="linear_0")(edge_feat)
+        x = MaskedBatchNorm(features=self.hidden_size,
+                            num_updates=self.num_updates, name="bn")(
+            x, weight, use_running_average=not train)
+        x = jax.nn.relu(x)
+        x = nn.Dense(self.hidden_size, kernel_init=normal_init(self.init_std),
+                     name="linear_1")(x)
+        return x
+
+
+class GATConvE(nn.Module):
+    """One relation-aware multi-head edge-attention layer.
+
+    Exact math of reference modeling/modeling_qagnn.py:380-484 (see
+    qagnn_tpu.ops.gat_attention for the attention semantics). Inputs are the
+    flat node features plus precomputed edge/self-loop embeddings.
+    """
+
+    emb_dim: int
+    head_count: int = 4  # hard default in reference modeling/modeling_qagnn.py:387
+    init_std: float = 0.02
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,                 # (N_tot, 2*emb_dim) — [node feats ‖ extra feats]
+        edge_src: Array,          # (E_tot,) flat source indices
+        edge_dst: Array,          # (E_tot,) flat destination indices
+        edge_mask: Array,         # (E_tot,) bool
+        edge_emb: Array,          # (E_tot, emb_dim) — from the shared EdgeEncoder
+        self_emb: Array,          # (N_tot, emb_dim) — self-loop edge embeddings
+        *,
+        train: bool,
+        return_alpha: bool = False,
+    ):
+        d, h = self.emb_dim, self.head_count
+        assert d % h == 0
+        dph = d // h
+        n_tot = x.shape[0]
+
+        # Decomposed projections (reference modeling/modeling_qagnn.py:464-466):
+        #   key   = W_k [x_i ‖ e]  =  (A_k x)_i + B_k e
+        #   msg   = W_m [x_j ‖ e]  =  (A_m x)_j + B_m e
+        #   query = W_q x_j / sqrt(dph)
+        # Node-side GEMMs run over N rows; only the edge-embedding side runs
+        # over E rows. The bias lives on the edge side so it's added once.
+        key_x_d = nn.Dense(d, use_bias=False,
+                           kernel_init=normal_init(self.init_std), name="key_x")
+        msg_x_d = nn.Dense(d, use_bias=False,
+                           kernel_init=normal_init(self.init_std), name="msg_x")
+        query_d = nn.Dense(d, kernel_init=normal_init(self.init_std),
+                           name="query")
+        key_e_d = nn.Dense(d, kernel_init=normal_init(self.init_std),
+                           name="key_e")
+        msg_e_d = nn.Dense(d, kernel_init=normal_init(self.init_std),
+                           name="msg_e")
+
+        key_x = key_x_d(x)                        # (N, d)
+        msg_x = msg_x_d(x)
+        query = query_d(x) / math.sqrt(dph)       # (N, d)
+
+        edge_key = (key_x[edge_dst] + key_e_d(edge_emb)).reshape(-1, h, dph)  # i = target
+        edge_msg = (msg_x[edge_src] + msg_e_d(edge_emb)).reshape(-1, h, dph)  # j = source
+        edge_query = query[edge_src].reshape(-1, h, dph)
+
+        # Self-loop path: x_i == x_j == x, edge embedding = self_emb
+        # (reference appends one self-loop per node to the edge list, :436-438).
+        self_key = (key_x + key_e_d(self_emb)).reshape(n_tot, h, dph)
+        self_msg = (msg_x + msg_e_d(self_emb)).reshape(n_tot, h, dph)
+        self_query = query.reshape(n_tot, h, dph)
+
+        aggr = relational_gat_attention(
+            edge_query, edge_key, edge_msg,
+            edge_src, edge_dst, edge_mask,
+            self_query, self_key, self_msg,
+            return_alpha=return_alpha,
+        )
+        if return_alpha:
+            aggr, alphas = aggr
+
+        # Output MLP: Linear -> BN -> ReLU -> Linear
+        # (reference modeling/modeling_qagnn.py:408,443). The reference's BN
+        # sees ALL node rows including padded nodes, so no stat mask here.
+        out = nn.Dense(d, kernel_init=normal_init(self.init_std),
+                       name="out_linear_0")(aggr)
+        out = MaskedBatchNorm(features=d, name="out_bn")(
+            out, None, use_running_average=not train)
+        out = jax.nn.relu(out)
+        out = nn.Dense(d, kernel_init=normal_init(self.init_std),
+                       name="out_linear_1")(out)
+
+        if return_alpha:
+            return out, alphas
+        return out
+
+
+class QAGNNMessagePassing(nn.Module):
+    """k-layer message passing with node-type/score feature injection.
+
+    Matches reference modeling/modeling_qagnn.py:7-95 (QAGNN_Message_Passing):
+    node-type one-hot embedding, sinusoidal score-basis embedding (basis
+    1.1^j), k GATConvE layers with GELU+dropout, residual combine
+    GELU(Vh(H) + Vx(X)) with dropout.
+    """
+
+    k: int
+    n_ntype: int
+    n_etype: int
+    hidden_size: int
+    dropout: float = 0.1
+    head_count: int = 4
+    init_std: float = 0.02
+
+    @nn.compact
+    def __call__(
+        self,
+        H: Array,            # (G, N, D) initial node features
+        node_type: Array,    # (G, N) int
+        node_score: Array,   # (G, N) float — normalized LM relevance
+        edge_src: Array,     # (G, E) local indices
+        edge_dst: Array,     # (G, E)
+        edge_type: Array,    # (G, E)
+        edge_mask: Array,    # (G, E) bool
+        *,
+        train: bool,
+    ) -> Array:
+        G, N, D = H.shape
+        assert D == self.hidden_size
+        half = D // 2
+
+        # --- node-type embedding (reference :65-66) ----------------------
+        T = jax.nn.one_hot(node_type, self.n_ntype, dtype=H.dtype)
+        type_emb = gelu(nn.Dense(half, kernel_init=normal_init(self.init_std),
+                                 name="emb_node_type")(T))       # (G, N, D/2)
+
+        # --- sinusoidal score embedding (reference :69-73, basis 1.1^j) --
+        js = jnp.power(1.1, jnp.arange(half, dtype=H.dtype))     # (D/2,)
+        B = jnp.sin(js[None, None, :] * node_score[:, :, None])  # (G, N, D/2)
+        score_emb = gelu(nn.Dense(half, kernel_init=normal_init(self.init_std),
+                                  name="emb_score")(B))          # (G, N, D/2)
+
+        node_extra = jnp.concatenate([type_emb, score_emb], axis=-1)  # (G, N, D)
+
+        # --- flatten to the disjoint union (reference :84-86) ------------
+        x = H.reshape(G * N, D)
+        extra = node_extra.reshape(G * N, D)
+        flat_type = node_type.reshape(G * N)
+        offs = (jnp.arange(G, dtype=jnp.int32) * N)[:, None]
+        src = (edge_src + offs).reshape(-1)
+        dst = (edge_dst + offs).reshape(-1)
+        etype = edge_type.reshape(-1)
+        emask = edge_mask.reshape(-1)
+
+        # --- edge embeddings, computed ONCE for all k layers -------------
+        # Features: [one_hot(rel, n_etype+1) ‖ one_hot(head_t,4) ‖ one_hot(tail_t,4)]
+        # (reference :419-433); self-loops use relation index n_etype and
+        # head==tail==own type (reference :420-421,428-429).
+        e_rel = jax.nn.one_hot(etype, self.n_etype + 1, dtype=H.dtype)
+        e_head = jax.nn.one_hot(flat_type[src], self.n_ntype, dtype=H.dtype)
+        e_tail = jax.nn.one_hot(flat_type[dst], self.n_ntype, dtype=H.dtype)
+        edge_feat = jnp.concatenate([e_rel, e_head, e_tail], axis=-1)
+
+        s_rel = jnp.zeros((G * N, self.n_etype + 1), H.dtype).at[:, self.n_etype].set(1.0)
+        s_type = jax.nn.one_hot(flat_type, self.n_ntype, dtype=H.dtype)
+        self_feat = jnp.concatenate([s_rel, s_type, s_type], axis=-1)
+
+        # One BN over the union of (masked) edge rows and all self-loop rows,
+        # exactly the reference's E+N-row batch (reference :431-433). k EMA
+        # updates are folded into one call (num_updates=k).
+        all_feat = jnp.concatenate([edge_feat, self_feat], axis=0)
+        all_weight = jnp.concatenate(
+            [emask.astype(H.dtype), jnp.ones((G * N,), H.dtype)], axis=0)
+        all_emb = EdgeEncoder(hidden_size=D, num_updates=self.k,
+                              init_std=self.init_std, name="edge_encoder")(
+            all_feat, all_weight, train=train)
+        edge_emb, self_emb = all_emb[:src.shape[0]], all_emb[src.shape[0]:]
+
+        # --- k GNN layers (reference mp_helper :45-50) --------------------
+        X = x
+        for i in range(self.k):
+            X = GATConvE(emb_dim=D, head_count=self.head_count,
+                         init_std=self.init_std, name=f"gnn_layer_{i}")(
+                jnp.concatenate([X, extra], axis=1),
+                src, dst, emask, edge_emb, self_emb, train=train)
+            X = gelu(X)
+            X = nn.Dropout(self.dropout, deterministic=not train)(X)
+
+        X = X.reshape(G, N, D)
+
+        # --- residual combine (reference :92-93) --------------------------
+        out = gelu(
+            nn.Dense(D, kernel_init=normal_init(self.init_std), name="Vh")(H)
+            + nn.Dense(D, kernel_init=normal_init(self.init_std), name="Vx")(X))
+        return nn.Dropout(self.dropout, deterministic=not train)(out)

@@ -1,0 +1,80 @@
+"""Masked BatchNorm with torch.nn.BatchNorm1d-compatible semantics.
+
+The reference runs BatchNorm1d over a variable number of rows — the batched
+edge list plus one self-loop row per node inside the shared edge encoder
+(reference modeling/modeling_qagnn.py:30,431-433) and over all node rows in
+each conv's output MLP (reference modeling/modeling_qagnn.py:408,443).
+
+On TPU all shapes are static and padded, so padded rows must be excluded from
+the batch statistics by WEIGHT, not by shape. `MaskedBatchNorm` computes
+weighted batch moments; with weight == 1 for exactly the rows the reference
+would have seen, train-mode normalization matches the reference bit-for-bit
+in exact arithmetic.
+
+Torch parity details implemented here:
+  * normalization uses BIASED batch variance,
+  * running_var is updated with the UNBIASED batch variance (n/(n-1)),
+  * running <- (1 - momentum) * running + momentum * batch, momentum = 0.1,
+  * eval mode normalizes with running statistics,
+  * `num_updates` lets one `__call__` fold k successive EMA updates, matching
+    the reference's shared edge encoder being invoked once per GNN layer with
+    identical inputs (k identical updates == one update with effective
+    momentum 1-(1-m)^k).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+class MaskedBatchNorm(nn.Module):
+    features: int
+    momentum: float = 0.1
+    eps: float = 1e-5
+    use_running_average: bool | None = None
+    num_updates: int = 1
+
+    @nn.compact
+    def __call__(self, x: Array, weight: Array | None = None,
+                 use_running_average: bool | None = None) -> Array:
+        """x: (rows, features); weight: (rows,) nonneg — 0 drops a row from stats.
+
+        All rows are normalized/affine-transformed; only statistics are masked.
+        """
+        use_ra = nn.merge_param(
+            "use_running_average", self.use_running_average, use_running_average)
+
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(self.features, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(self.features, jnp.float32))
+
+        if use_ra:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            if weight is None:
+                n = jnp.asarray(x.shape[0], jnp.float32)
+                mean = jnp.mean(x, axis=0)
+                var = jnp.mean(jnp.square(x - mean), axis=0)
+            else:
+                w = weight.astype(jnp.float32)
+                n = jnp.maximum(jnp.sum(w), 1.0)
+                mean = jnp.sum(x * w[:, None], axis=0) / n
+                var = jnp.sum(jnp.square(x - mean) * w[:, None], axis=0) / n
+
+            if not self.is_initializing():
+                unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
+                decay = (1.0 - self.momentum) ** self.num_updates
+                blend = 1.0 - decay
+                ra_mean.value = decay * ra_mean.value + blend * mean
+                ra_var.value = decay * ra_var.value + blend * unbiased
+
+        inv = jax.lax.rsqrt(var + self.eps)
+        return (x - mean) * inv * scale + bias

@@ -137,6 +137,10 @@ def aggregate_onehot(data: Array, segment_ids: Array, num_segments: int,
         onehot, data,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        # HIGHEST keeps fp32 operands exact on the MXU (the default TPU
+        # precision routes fp32 through bf16 passes, which would make this
+        # "exact" aggregation diverge from the scatter path).
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
