@@ -4,28 +4,46 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 The reference publishes no throughput numbers (its only perf instrumentation
 is an ms/batch print, reference qagnn.py:282), so vs_baseline is reported
-against a fixed nominal target of 1e8 edges/s/chip — a conservative estimate
-of the reference's CUDA PyG pipeline on a contemporary GPU for this model
-shape (6k-edge subgraphs, dim 200, 4 heads, 5 layers).
+against a fixed nominal target of 1e8 edges/s/chip — an estimate of the
+reference's CUDA PyG pipeline on a contemporary GPU for this model shape
+(6k-edge subgraphs, dim 200, 4 heads, 5 layers).
 
-Run on whatever JAX platform is active (real TPU under the driver; CPU works
-but is slow). Shapes mirror the CSQA paper config: 200-node subgraphs,
-4096-edge budget, dim 200, k=5, batch of 64 graphs = 1 question-batch of
-~12-13 questions x 5 choices.
+Shapes mirror the CSQA paper config: 200-node subgraphs, 4096-edge budget,
+dim 200, k=5, batch of 64 graphs (~13 questions x 5 choices).
+
+Usage: python bench.py [--backend onehot|scatter] [--iters N] [--small]
 """
 
+import argparse
 import json
 import time
 
-import numpy as np
-
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--backend", default=None,
+                    help="sparse backend (default: auto per platform)")
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["float32", "bfloat16"],
+                    help="GNN compute dtype (params stay fp32)")
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--small", action="store_true",
+                    help="tiny shapes for a quick smoke run")
+    args = ap.parse_args()
+
+    import numpy as np
     import jax
+    # persistent compile cache: repeat bench runs skip the (minutes-long)
+    # remote TPU compile
+    jax.config.update("jax_compilation_cache_dir", "/tmp/qagnn_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from qagnn_tpu.models.gnn import QAGNNMessagePassing
 
-    G, N, E, D, K = 64, 200, 4096, 200, 5
+    if args.small:
+        G, N, E, D, K = 4, 16, 64, 32, 2
+    else:
+        G, N, E, D, K = 64, 200, 4096, 200, 5
     N_NTYPE, N_ETYPE = 4, 38
 
     rng = np.random.default_rng(0)
@@ -38,7 +56,9 @@ def main():
     edge_mask = jnp.ones((G, E), bool)
 
     model = QAGNNMessagePassing(k=K, n_ntype=N_NTYPE, n_etype=N_ETYPE,
-                                hidden_size=D, dropout=0.0)
+                                hidden_size=D, dropout=0.0,
+                                backend=args.backend,
+                                dtype=getattr(jnp, args.dtype))
     variables = model.init(jax.random.PRNGKey(0), H, node_type, node_score,
                            edge_src, edge_dst, edge_type, edge_mask,
                            train=False)
@@ -52,18 +72,16 @@ def main():
 
     step = jax.jit(jax.grad(loss_fn, argnums=(0, 1)))
 
-    # warmup/compile
-    g = step(variables["params"], H)
+    g = step(variables["params"], H)   # warmup/compile
     jax.block_until_ready(g)
 
-    iters = 20
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for _ in range(args.iters):
         g = step(variables["params"], H)
     jax.block_until_ready(g)
-    dt = (time.perf_counter() - t0) / iters
+    dt = (time.perf_counter() - t0) / args.iters
 
-    edges_per_step = G * E * K  # real edges aggregated per fwd (+bwd) pass
+    edges_per_step = G * E * K  # edges aggregated per fwd(+bwd) pass
     value = edges_per_step / dt
     baseline = 1e8
     print(json.dumps({

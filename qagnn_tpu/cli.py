@@ -53,7 +53,7 @@ def build_model_and_data(cfg: TrainConfig, tokenizer=None):
         concept_in_dim=concept_in_dim, n_attention_head=cfg.att_head_num,
         fc_dim=cfg.fc_dim, n_fc_layer=cfg.fc_layer_num,
         p_emb=cfg.dropouti, p_gnn=cfg.dropoutg, p_fc=cfg.dropoutf,
-        init_range=cfg.init_range)
+        init_std=cfg.init_range)
     return dataset, model, cp_emb
 
 

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from qagnn_tpu.models.layers import gelu, normal_init
 from qagnn_tpu.models.norm import MaskedBatchNorm
-from qagnn_tpu.ops.gat_attention import relational_gat_attention
+from qagnn_tpu.ops.gat_attention import relational_gat_attention_nodes
 
 Array = jax.Array
 
@@ -69,23 +69,26 @@ class GATConvE(nn.Module):
     """One relation-aware multi-head edge-attention layer.
 
     Exact math of reference modeling/modeling_qagnn.py:380-484 (see
-    qagnn_tpu.ops.gat_attention for the attention semantics). Inputs are the
-    flat node features plus precomputed edge/self-loop embeddings.
+    qagnn_tpu.ops.gat_attention for the attention semantics). Inputs are
+    batched per graph: node features (G, N, 2*emb_dim) plus precomputed
+    edge/self-loop embeddings.
     """
 
     emb_dim: int
     head_count: int = 4  # hard default in reference modeling/modeling_qagnn.py:387
     init_std: float = 0.02
+    backend: str | None = None
+    dtype: jnp.dtype = jnp.float32   # compute dtype for projections/contractions
 
     @nn.compact
     def __call__(
         self,
-        x: Array,                 # (N_tot, 2*emb_dim) — [node feats ‖ extra feats]
-        edge_src: Array,          # (E_tot,) flat source indices
-        edge_dst: Array,          # (E_tot,) flat destination indices
-        edge_mask: Array,         # (E_tot,) bool
-        edge_emb: Array,          # (E_tot, emb_dim) — from the shared EdgeEncoder
-        self_emb: Array,          # (N_tot, emb_dim) — self-loop edge embeddings
+        x: Array,                 # (G, N, 2*emb_dim) — [node feats ‖ extra feats]
+        edge_src: Array,          # (G, E) int32 local source indices
+        edge_dst: Array,          # (G, E) int32 local destination indices
+        edge_mask: Array,         # (G, E) bool
+        edge_emb: Array,          # (G, E, emb_dim) — from the shared EdgeEncoder
+        self_emb: Array,          # (G, N, emb_dim) — self-loop edge embeddings
         *,
         train: bool,
         return_alpha: bool = False,
@@ -93,7 +96,7 @@ class GATConvE(nn.Module):
         d, h = self.emb_dim, self.head_count
         assert d % h == 0
         dph = d // h
-        n_tot = x.shape[0]
+        G, N = x.shape[0], x.shape[1]
 
         # Decomposed projections (reference modeling/modeling_qagnn.py:464-466):
         #   key   = W_k [x_i ‖ e]  =  (A_k x)_i + B_k e
@@ -101,36 +104,39 @@ class GATConvE(nn.Module):
         #   query = W_q x_j / sqrt(dph)
         # Node-side GEMMs run over N rows; only the edge-embedding side runs
         # over E rows. The bias lives on the edge side so it's added once.
-        key_x_d = nn.Dense(d, use_bias=False,
+        key_x_d = nn.Dense(d, use_bias=False, dtype=self.dtype,
                            kernel_init=normal_init(self.init_std), name="key_x")
-        msg_x_d = nn.Dense(d, use_bias=False,
+        msg_x_d = nn.Dense(d, use_bias=False, dtype=self.dtype,
                            kernel_init=normal_init(self.init_std), name="msg_x")
-        query_d = nn.Dense(d, kernel_init=normal_init(self.init_std),
+        query_d = nn.Dense(d, dtype=self.dtype,
+                           kernel_init=normal_init(self.init_std),
                            name="query")
-        key_e_d = nn.Dense(d, kernel_init=normal_init(self.init_std),
+        key_e_d = nn.Dense(d, dtype=self.dtype,
+                           kernel_init=normal_init(self.init_std),
                            name="key_e")
-        msg_e_d = nn.Dense(d, kernel_init=normal_init(self.init_std),
+        msg_e_d = nn.Dense(d, dtype=self.dtype,
+                           kernel_init=normal_init(self.init_std),
                            name="msg_e")
 
-        key_x = key_x_d(x)                        # (N, d)
-        msg_x = msg_x_d(x)
-        query = query_d(x) / math.sqrt(dph)       # (N, d)
+        def heads(t):
+            return t.reshape(t.shape[:-1] + (h, dph))
 
-        edge_key = (key_x[edge_dst] + key_e_d(edge_emb)).reshape(-1, h, dph)  # i = target
-        edge_msg = (msg_x[edge_src] + msg_e_d(edge_emb)).reshape(-1, h, dph)  # j = source
-        edge_query = query[edge_src].reshape(-1, h, dph)
+        node_key = heads(key_x_d(x))                    # (G, N, H, dph)
+        node_msg = heads(msg_x_d(x))
+        node_query = heads(query_d(x) / math.sqrt(dph))
 
-        # Self-loop path: x_i == x_j == x, edge embedding = self_emb
-        # (reference appends one self-loop per node to the edge list, :436-438).
-        self_key = (key_x + key_e_d(self_emb)).reshape(n_tot, h, dph)
-        self_msg = (msg_x + msg_e_d(self_emb)).reshape(n_tot, h, dph)
-        self_query = query.reshape(n_tot, h, dph)
+        edge_key_bias = heads(key_e_d(edge_emb))        # (G, E, H, dph)
+        edge_msg_bias = heads(msg_e_d(edge_emb))
+        # Self-loop rows use the SAME projections applied to the self-loop
+        # edge embedding (reference appends one self-loop per node, :436-438).
+        self_key_bias = heads(key_e_d(self_emb))        # (G, N, H, dph)
+        self_msg_bias = heads(msg_e_d(self_emb))
 
-        aggr = relational_gat_attention(
-            edge_query, edge_key, edge_msg,
+        aggr = relational_gat_attention_nodes(
+            node_query, node_key, node_msg,
+            edge_key_bias, edge_msg_bias, self_key_bias, self_msg_bias,
             edge_src, edge_dst, edge_mask,
-            self_query, self_key, self_msg,
-            return_alpha=return_alpha,
+            backend=self.backend, return_alpha=return_alpha,
         )
         if return_alpha:
             aggr, alphas = aggr
@@ -141,7 +147,8 @@ class GATConvE(nn.Module):
         out = nn.Dense(d, kernel_init=normal_init(self.init_std),
                        name="out_linear_0")(aggr)
         out = MaskedBatchNorm(features=d, name="out_bn")(
-            out, None, use_running_average=not train)
+            out.reshape(G * N, d), None,
+            use_running_average=not train).reshape(G, N, d)
         out = jax.nn.relu(out)
         out = nn.Dense(d, kernel_init=normal_init(self.init_std),
                        name="out_linear_1")(out)
@@ -167,6 +174,8 @@ class QAGNNMessagePassing(nn.Module):
     dropout: float = 0.1
     head_count: int = 4
     init_std: float = 0.02
+    backend: str | None = None   # sparse-op backend; None = auto per platform
+    dtype: jnp.dtype = jnp.float32   # compute dtype for the GNN hot path
 
     @nn.compact
     def __call__(
@@ -198,51 +207,49 @@ class QAGNNMessagePassing(nn.Module):
 
         node_extra = jnp.concatenate([type_emb, score_emb], axis=-1)  # (G, N, D)
 
-        # --- flatten to the disjoint union (reference :84-86) ------------
-        x = H.reshape(G * N, D)
-        extra = node_extra.reshape(G * N, D)
-        flat_type = node_type.reshape(G * N)
-        offs = (jnp.arange(G, dtype=jnp.int32) * N)[:, None]
-        src = (edge_src + offs).reshape(-1)
-        dst = (edge_dst + offs).reshape(-1)
-        etype = edge_type.reshape(-1)
-        emask = edge_mask.reshape(-1)
-
         # --- edge embeddings, computed ONCE for all k layers -------------
         # Features: [one_hot(rel, n_etype+1) ‖ one_hot(head_t,4) ‖ one_hot(tail_t,4)]
         # (reference :419-433); self-loops use relation index n_etype and
         # head==tail==own type (reference :420-421,428-429).
-        e_rel = jax.nn.one_hot(etype, self.n_etype + 1, dtype=H.dtype)
-        e_head = jax.nn.one_hot(flat_type[src], self.n_ntype, dtype=H.dtype)
-        e_tail = jax.nn.one_hot(flat_type[dst], self.n_ntype, dtype=H.dtype)
+        E = edge_src.shape[1]
+        e_rel = jax.nn.one_hot(edge_type, self.n_etype + 1, dtype=H.dtype)
+        head_t = jnp.take_along_axis(node_type, edge_src, axis=1)
+        tail_t = jnp.take_along_axis(node_type, edge_dst, axis=1)
+        e_head = jax.nn.one_hot(head_t, self.n_ntype, dtype=H.dtype)
+        e_tail = jax.nn.one_hot(tail_t, self.n_ntype, dtype=H.dtype)
         edge_feat = jnp.concatenate([e_rel, e_head, e_tail], axis=-1)
 
-        s_rel = jnp.zeros((G * N, self.n_etype + 1), H.dtype).at[:, self.n_etype].set(1.0)
-        s_type = jax.nn.one_hot(flat_type, self.n_ntype, dtype=H.dtype)
+        s_rel = jnp.zeros((G, N, self.n_etype + 1), H.dtype) \
+            .at[:, :, self.n_etype].set(1.0)
+        s_type = jax.nn.one_hot(node_type, self.n_ntype, dtype=H.dtype)
         self_feat = jnp.concatenate([s_rel, s_type, s_type], axis=-1)
 
         # One BN over the union of (masked) edge rows and all self-loop rows,
         # exactly the reference's E+N-row batch (reference :431-433). k EMA
         # updates are folded into one call (num_updates=k).
-        all_feat = jnp.concatenate([edge_feat, self_feat], axis=0)
+        nfeat = edge_feat.shape[-1]
+        all_feat = jnp.concatenate([edge_feat.reshape(G * E, nfeat),
+                                    self_feat.reshape(G * N, nfeat)], axis=0)
         all_weight = jnp.concatenate(
-            [emask.astype(H.dtype), jnp.ones((G * N,), H.dtype)], axis=0)
+            [edge_mask.reshape(-1).astype(H.dtype),
+             jnp.ones((G * N,), H.dtype)], axis=0)
         all_emb = EdgeEncoder(hidden_size=D, num_updates=self.k,
                               init_std=self.init_std, name="edge_encoder")(
             all_feat, all_weight, train=train)
-        edge_emb, self_emb = all_emb[:src.shape[0]], all_emb[src.shape[0]:]
+        edge_emb = all_emb[: G * E].reshape(G, E, D)
+        self_emb = all_emb[G * E:].reshape(G, N, D)
 
         # --- k GNN layers (reference mp_helper :45-50) --------------------
-        X = x
+        X = H
         for i in range(self.k):
             X = GATConvE(emb_dim=D, head_count=self.head_count,
-                         init_std=self.init_std, name=f"gnn_layer_{i}")(
-                jnp.concatenate([X, extra], axis=1),
-                src, dst, emask, edge_emb, self_emb, train=train)
+                         init_std=self.init_std, backend=self.backend,
+                         dtype=self.dtype, name=f"gnn_layer_{i}")(
+                jnp.concatenate([X, node_extra], axis=2),
+                edge_src, edge_dst, edge_mask, edge_emb, self_emb,
+                train=train)
             X = gelu(X)
             X = nn.Dropout(self.dropout, deterministic=not train)(X)
-
-        X = X.reshape(G, N, D)
 
         # --- residual combine (reference :92-93) --------------------------
         out = gelu(

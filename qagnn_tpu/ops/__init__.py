@@ -14,7 +14,10 @@ from qagnn_tpu.ops.segment import (
     out_degree,
     aggregate_onehot,
 )
-from qagnn_tpu.ops.gat_attention import relational_gat_attention
+from qagnn_tpu.ops.gat_attention import (
+    relational_gat_attention,
+    relational_gat_attention_nodes,
+)
 
 __all__ = [
     "segment_sum",
@@ -24,4 +27,5 @@ __all__ = [
     "out_degree",
     "aggregate_onehot",
     "relational_gat_attention",
+    "relational_gat_attention_nodes",
 ]

@@ -15,14 +15,25 @@ Semantics (per edge e = (src, dst), per head h):
     out[n,h,:]  = sum over edges with dst==n of alpha[e,h] * msg[e,h,:]
                   + alpha_self[n,h] * msg_self[n,h,:]         (SpMM)
 
-The projections producing query/key/msg are plain GEMMs and live in the model
-layer where XLA maps them onto the MXU; this op handles only the sparse part.
+All arrays are BATCHED per graph — (G, E, ...) edges with LOCAL node indices
+in [0, N) — because the disjoint-union-with-global-offsets layout the
+reference uses (modeling/modeling_qagnn.py:244-251) forces HLO scatter/gather
+over a huge flat index space, which serializes on TPU.
 
-A Pallas fused kernel (qagnn_tpu.ops.pallas) can replace this XLA reference
-path; both produce identical results and are cross-checked in tests.
+Two backends, bit-equivalent up to fp32 reassociation:
+  * "scatter": jax.ops.segment_sum / take over the flattened union. Fast on
+    CPU, the correctness oracle everywhere.
+  * "onehot": every gather/scatter/segment-reduce becomes a per-graph
+    (E, N) one-hot contraction — batched dot_generals that tile onto the
+    MXU instead of serializing through HLO scatter. This is the fast TPU
+    path (N <= a few hundred nodes per graph, as here: N = 200).
+A Pallas fused kernel (qagnn_tpu.ops.pallas_gat) can replace the "onehot"
+path; all are cross-checked in tests.
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -35,47 +46,225 @@ from qagnn_tpu.ops.segment import (
 
 Array = jax.Array
 
+_NEG = -1e30
 
-def relational_gat_attention(
-    edge_query: Array,   # (E, H, D) — projected from the SOURCE node
-    edge_key: Array,     # (E, H, D)
-    edge_msg: Array,     # (E, H, D)
-    edge_src: Array,     # (E,) int32 node index of source
-    edge_dst: Array,     # (E,) int32 node index of destination
-    edge_mask: Array,    # (E,) bool — False for padding
-    self_query: Array,   # (N, H, D) — self-loop path, one per node
-    self_key: Array,     # (N, H, D)
-    self_msg: Array,     # (N, H, D)
+
+def default_backend() -> str:
+    return "onehot" if jax.default_backend() == "tpu" else "scatter"
+
+
+def relational_gat_attention_nodes(
+    node_query: Array,     # (G, N, H, D) — W_q x / sqrt(D), per node
+    node_key: Array,       # (G, N, H, D) — A_k x (node part of the key)
+    node_msg: Array,       # (G, N, H, D) — A_m x (node part of the message)
+    edge_key_bias: Array,  # (G, E, H, D) — B_k e(edge)  (+ bias)
+    edge_msg_bias: Array,  # (G, E, H, D) — B_m e(edge)  (+ bias)
+    self_key_bias: Array,  # (G, N, H, D) — B_k e(self-loop)
+    self_msg_bias: Array,  # (G, N, H, D) — B_m e(self-loop)
+    edge_src: Array,       # (G, E) int32
+    edge_dst: Array,       # (G, E) int32
+    edge_mask: Array,      # (G, E) bool
     *,
+    backend: str | None = None,
     return_alpha: bool = False,
 ):
-    """Returns aggregated node features (N, H*D); optionally (edge_alpha, self_alpha).
-
-    Note: `query` is expected to be pre-scaled by 1/sqrt(D) by the caller
-    (mirroring reference modeling/modeling_qagnn.py:469).
+    """Decomposed form: per-edge tensors are built INSIDE the op so the
+    node->edge gathers can use the backend's fast path (one-hot contractions
+    on TPU instead of HLO gather). Matches the linear-over-concat split of
+    the reference's projections (modeling/modeling_qagnn.py:464-466):
+        key(e)   = (A_k x)[dst_e] + B_k emb_e
+        msg(e)   = (A_m x)[src_e] + B_m emb_e
+        query(e) = (W_q x)[src_e]
+    Self-loop rows use x itself on both sides with the self-loop embedding.
     """
-    num_nodes = self_query.shape[0]
-    n_heads, dim_per_head = edge_query.shape[1], edge_query.shape[2]
+    if backend is None:
+        backend = default_backend()
 
-    # --- SDDMM: per-edge attention logits -------------------------------
-    edge_scores = jnp.sum(edge_query * edge_key, axis=-1)   # (E, H)
-    self_scores = jnp.sum(self_query * self_key, axis=-1)   # (N, H)
+    if backend == "onehot":
+        G, E = edge_src.shape
+        N = node_query.shape[1]
+        cdt = node_query.dtype   # compute dtype (bf16 on TPU)
+        m = edge_mask.astype(cdt)[..., None]
+        oh_src = jax.nn.one_hot(edge_src, N, dtype=cdt) * m
+        oh_dst = jax.nn.one_hot(edge_dst, N, dtype=cdt) * m
+        gather_src = functools.partial(jnp.einsum, "gen,gnhd->gehd", oh_src,
+                                       preferred_element_type=cdt)
+        gather_dst = functools.partial(jnp.einsum, "gen,gnhd->gehd", oh_dst,
+                                       preferred_element_type=cdt)
+        edge_query = gather_src(node_query)
+        edge_key = gather_dst(node_key) + edge_key_bias.astype(cdt)
+        edge_msg = gather_src(node_msg) + edge_msg_bias.astype(cdt)
+    else:
+        def take(nodes, idx):
+            return jnp.take_along_axis(
+                nodes, idx[:, :, None, None], axis=1)
+        edge_query = take(node_query, edge_src)
+        edge_key = take(node_key, edge_dst) + edge_key_bias
+        edge_msg = take(node_msg, edge_src) + edge_msg_bias
 
-    # --- source-grouped softmax over {outgoing edges} ∪ {self-loop} -----
+    self_query = node_query
+    self_key = node_key + self_key_bias
+    self_msg = node_msg + self_msg_bias
+
+    return relational_gat_attention(
+        edge_query, edge_key, edge_msg, edge_src, edge_dst, edge_mask,
+        self_query, self_key, self_msg,
+        backend=backend, return_alpha=return_alpha)
+
+
+def relational_gat_attention(
+    edge_query: Array,   # (G, E, H, D) — projected from the SOURCE node
+    edge_key: Array,     # (G, E, H, D)
+    edge_msg: Array,     # (G, E, H, D)
+    edge_src: Array,     # (G, E) int32 local source index
+    edge_dst: Array,     # (G, E) int32 local destination index
+    edge_mask: Array,    # (G, E) bool — False for padding
+    self_query: Array,   # (G, N, H, D) — self-loop path, one per node
+    self_key: Array,     # (G, N, H, D)
+    self_msg: Array,     # (G, N, H, D)
+    *,
+    backend: str | None = None,
+    return_alpha: bool = False,
+):
+    """Returns aggregated node features (G, N, H*D); optionally alphas.
+
+    `query` is expected pre-scaled by 1/sqrt(D) by the caller (mirroring
+    reference modeling/modeling_qagnn.py:469).
+    """
+    if backend is None:
+        backend = default_backend()
+    if backend == "scatter":
+        return _scatter_backend(edge_query, edge_key, edge_msg, edge_src,
+                                edge_dst, edge_mask, self_query, self_key,
+                                self_msg, return_alpha)
+    if backend == "onehot":
+        return _onehot_backend(edge_query, edge_key, edge_msg, edge_src,
+                               edge_dst, edge_mask, self_query, self_key,
+                               self_msg, return_alpha)
+    raise ValueError(f"unknown backend {backend!r}")
+
+
+# ---------------------------------------------------------------------------
+# scatter backend (flattened union; correctness oracle)
+# ---------------------------------------------------------------------------
+
+def _scatter_backend(edge_query, edge_key, edge_msg, edge_src, edge_dst,
+                     edge_mask, self_query, self_key, self_msg, return_alpha):
+    G, E = edge_src.shape
+    N = self_query.shape[1]
+    H, D = edge_query.shape[2], edge_query.shape[3]
+
+    offs = (jnp.arange(G, dtype=edge_src.dtype) * N)[:, None]
+    src = (edge_src + offs).reshape(-1)
+    dst = (edge_dst + offs).reshape(-1)
+    mask = edge_mask.reshape(-1)
+    eq = edge_query.reshape(G * E, H, D)
+    ek = edge_key.reshape(G * E, H, D)
+    em = edge_msg.reshape(G * E, H, D)
+    sq = self_query.reshape(G * N, H, D)
+    sk = self_key.reshape(G * N, H, D)
+    sm = self_msg.reshape(G * N, H, D)
+
+    edge_scores = jnp.sum(eq * ek, axis=-1)      # (GE, H)  SDDMM
+    self_scores = jnp.sum(sq * sk, axis=-1)      # (GN, H)
+
     edge_alpha, self_alpha = segment_softmax_with_self_loops(
-        edge_scores, edge_src, edge_mask, self_scores)
+        edge_scores, src, mask, self_scores)
 
-    # --- out-degree rescale (edges + self-loop) --------------------------
-    deg = out_degree(edge_src, num_nodes, edge_mask, include_self_loop=True)
-    edge_alpha_scaled = edge_alpha * deg[edge_src][:, None]
-    self_alpha_scaled = self_alpha * deg[:, None]
+    deg = out_degree(src, G * N, mask, include_self_loop=True)
+    edge_alpha_s = edge_alpha * deg[src][:, None]
+    self_alpha_s = self_alpha * deg[:, None]
 
-    # --- SpMM: weighted scatter-add to destinations ----------------------
-    weighted = edge_msg * edge_alpha_scaled[:, :, None]          # (E, H, D)
-    aggr = segment_sum(weighted, edge_dst, num_nodes, edge_mask)  # (N, H, D)
-    aggr = aggr + self_msg * self_alpha_scaled[:, :, None]
+    weighted = em * edge_alpha_s[:, :, None]
+    aggr = segment_sum(weighted, dst, G * N, mask)
+    aggr = aggr + sm * self_alpha_s[:, :, None]
 
-    out = aggr.reshape(num_nodes, n_heads * dim_per_head)
+    out = aggr.reshape(G, N, H * D)
     if return_alpha:
+        return out, (edge_alpha.reshape(G, E, H),
+                     self_alpha.reshape(G, N, H))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# one-hot matmul backend (MXU path)
+# ---------------------------------------------------------------------------
+
+def _onehot_backend(edge_query, edge_key, edge_msg, edge_src, edge_dst,
+                    edge_mask, self_query, self_key, self_msg, return_alpha):
+    G, E = edge_src.shape
+    N = self_query.shape[1]
+    H, D = edge_query.shape[2], edge_query.shape[3]
+    f32 = jnp.float32
+    # Contractions run in the caller's compute dtype (bf16 on TPU for 4x MXU
+    # throughput — one-hot operands are exact in bf16); accumulation and all
+    # softmax arithmetic stay fp32 via preferred_element_type.
+    cdt = edge_query.dtype
+
+    edge_scores = jnp.sum(edge_query.astype(f32) * edge_key.astype(f32),
+                          axis=-1)                           # (G, E, H)
+    self_scores = jnp.sum(self_query.astype(f32) * self_key.astype(f32),
+                          axis=-1)                           # (G, N, H)
+
+    # --- segment max over src (edges ∪ self-loop), via masked broadcast ----
+    # max_n[g,n,h] = max over {e: src=n} scores[g,e,h] ∪ self_scores[g,n,h].
+    # A max can't ride a matmul; use the select form — (G, E, N, H) would be
+    # huge, so compute per-node max with a where over the one-hot instead:
+    # scores_exp (G, E, 1, H) vs oh_src (G, E, N) -> toolarge. Do it as a
+    # scatter-free trick: sort-free N-pass is too slow; instead use the
+    # standard bounded-logit shift: all scores are finite; subtract the
+    # per-graph global max (a safe uniform shift) then exp without per-group
+    # max. Softmax is shift-invariant per group under a GLOBAL shift too, and
+    # exp(score - global_max) cannot overflow (<= 1). Underflow of tiny terms
+    # only loses what fp32 would anyway round away after division.
+    gmax = jnp.maximum(
+        jnp.max(jnp.where(edge_mask[..., None], edge_scores, _NEG),
+                axis=(1,), keepdims=True),                   # (G, 1, H)
+        jnp.max(self_scores, axis=1, keepdims=True))
+    gmax = jax.lax.stop_gradient(gmax)
+
+    e_edge = jnp.exp(edge_scores - gmax) * edge_mask[..., None].astype(f32)
+    e_self = jnp.exp(self_scores - gmax)                     # (G, N, H)
+
+    # --- denominators + degree via one-hot contractions -------------------
+    # (XLA's scatter lowers fine but COMPILES pathologically slowly on TPU
+    # for these shapes; one-hot matmuls compile fast and run at the same
+    # speed. In bf16 compute the exp terms round to ~3 decimal digits before
+    # the fp32 accumulation — a ~0.4% perturbation of attention weights; the
+    # fp32/scatter path remains the exact parity oracle.)
+    oh_src = (jax.nn.one_hot(edge_src, N, dtype=cdt)
+              * edge_mask.astype(cdt)[..., None])            # (G, E, N)
+    denom = jnp.einsum("gen,geh->gnh", oh_src, e_edge.astype(cdt),
+                       preferred_element_type=f32) + e_self
+    # Guard against a group so far below the global max that every term
+    # underflows (needs a score spread > ~87; the scatter backend's per-group
+    # max never degenerates, so the two paths only differ in that regime).
+    denom = jnp.maximum(denom, 1e-16)
+    deg = jnp.sum(oh_src, axis=1).astype(f32) + 1.0          # (G, N)
+
+    # --- alpha (with degree rescale), gathered back per edge --------------
+    scale_n = deg[..., None] / denom                         # (G, N, H)
+    scale_e = jnp.einsum("gen,gnh->geh", oh_src, scale_n.astype(cdt),
+                         preferred_element_type=f32)
+    edge_alpha_s = e_edge * scale_e                          # (G, E, H)
+    self_alpha_s = e_self * scale_n
+
+    # --- SpMM: aggregate weighted messages at dst via a one-hot contraction
+    # (tiles onto the MXU; fp32 accumulation via preferred_element_type) ----
+    weighted = (edge_msg.astype(f32)
+                * edge_alpha_s[..., None]).astype(cdt)       # (G, E, H, D)
+    oh_dst = (jax.nn.one_hot(edge_dst, N, dtype=cdt)
+              * edge_mask.astype(cdt)[..., None])            # (G, E, N)
+    aggr = jnp.einsum("gen,gehd->gnhd", oh_dst, weighted,
+                      preferred_element_type=f32)
+    aggr = aggr + self_msg.astype(f32) * self_alpha_s[..., None]
+
+    out = aggr.reshape(G, N, H * D)
+    if return_alpha:
+        denom_e = jnp.einsum("gen,gnh->geh", oh_src, denom.astype(cdt),
+                             preferred_element_type=f32)
+        edge_alpha = jnp.where(edge_mask[..., None],
+                               e_edge / denom_e, 0.0)
+        self_alpha = e_self / denom
         return out, (edge_alpha, self_alpha)
     return out

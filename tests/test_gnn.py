@@ -252,3 +252,41 @@ def test_lm_qagnn_end_to_end_with_dummy_encoder():
     logits = model.apply(variables, lm_inputs, graph)
     assert logits.shape == (bs, nc)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_onehot_backend_matches_scatter_backend(setup):
+    """The MXU one-hot path and the scatter path must agree."""
+    mp, variables, graph, H = setup
+    mp_oh = QAGNNMessagePassing(k=K, n_ntype=N_NTYPE, n_etype=N_ETYPE,
+                                hidden_size=D, dropout=0.0, head_count=HEADS,
+                                backend="onehot")
+    mp_sc = QAGNNMessagePassing(k=K, n_ntype=N_NTYPE, n_etype=N_ETYPE,
+                                hidden_size=D, dropout=0.0, head_count=HEADS,
+                                backend="scatter")
+    args = (jnp.asarray(H), graph.node_types, graph.node_scores,
+            graph.edge_src, graph.edge_dst, graph.edge_type, graph.edge_mask)
+    a = mp_oh.apply(variables, *args, train=False)
+    b = mp_sc.apply(variables, *args, train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_onehot_backend_gradients_match_scatter(setup):
+    mp, variables, graph, H = setup
+
+    def loss(params, backend):
+        m = QAGNNMessagePassing(k=K, n_ntype=N_NTYPE, n_etype=N_ETYPE,
+                                hidden_size=D, dropout=0.0, head_count=HEADS,
+                                backend=backend)
+        out = m.apply({"params": params,
+                       "batch_stats": variables["batch_stats"]},
+                      jnp.asarray(H), graph.node_types, graph.node_scores,
+                      graph.edge_src, graph.edge_dst, graph.edge_type,
+                      graph.edge_mask, train=False)
+        return jnp.sum(out ** 2)
+
+    g1 = jax.grad(loss)(variables["params"], "onehot")
+    g2 = jax.grad(loss)(variables["params"], "scatter")
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-5)

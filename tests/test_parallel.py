@@ -1,0 +1,94 @@
+"""Multi-device sharding correctness on the virtual 8-device CPU mesh:
+data-parallel and edge-partitioned runs must equal the single-device result,
+proving GSPMD inserts the right collectives for the segment/one-hot ops."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from qagnn_tpu.graph.batching import batch_edge_lists
+from qagnn_tpu.models.gnn import QAGNNMessagePassing
+from qagnn_tpu.parallel.graph_sharding import shard_graph
+from qagnn_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+
+N_NTYPE, N_ETYPE, K, D = 4, 6, 2, 8
+
+
+def _graphs(rng, n_graphs=8, n_nodes=8, e_budget=16):
+    edge_indices, edge_types = [], []
+    num_nodes = rng.integers(2, n_nodes + 1, size=n_graphs)
+    for g in range(n_graphs):
+        ne = int(rng.integers(1, 12))
+        edge_indices.append(
+            rng.integers(0, num_nodes[g], (2, ne)).astype(np.int64))
+        edge_types.append(rng.integers(0, N_ETYPE, ne).astype(np.int64))
+    concept_ids = rng.integers(1, 50, (n_graphs, n_nodes))
+    node_types = rng.integers(0, 3, (n_graphs, n_nodes))
+    node_scores = rng.standard_normal((n_graphs, n_nodes)).astype(np.float32)
+    return batch_edge_lists(edge_indices, edge_types, concept_ids,
+                            node_types, node_scores, num_nodes,
+                            edges_per_graph=e_budget)
+
+
+@pytest.fixture(scope="module")
+def model_and_data():
+    rng = np.random.default_rng(0)
+    graph = _graphs(rng)
+    H = jnp.asarray(rng.standard_normal(
+        (graph.n_graphs, graph.nodes_per_graph, D)), jnp.float32)
+    model = QAGNNMessagePassing(k=K, n_ntype=N_NTYPE, n_etype=N_ETYPE,
+                                hidden_size=D, dropout=0.0,
+                                backend="onehot")
+    variables = model.init(jax.random.PRNGKey(0), H, graph.node_types,
+                           graph.node_scores, graph.edge_src, graph.edge_dst,
+                           graph.edge_type, graph.edge_mask, train=False)
+
+    def fwd(variables, H, graph):
+        return model.apply(variables, H, graph.node_types, graph.node_scores,
+                           graph.edge_src, graph.edge_dst, graph.edge_type,
+                           graph.edge_mask, train=False)
+
+    want = np.asarray(fwd(variables, H, graph))
+    return fwd, variables, H, graph, want
+
+
+def test_data_parallel_matches_single_device(model_and_data):
+    fwd, variables, H, graph, want = model_and_data
+    mesh = make_mesh(8, 1)
+    with mesh:
+        v = jax.device_put(variables, replicated(mesh))
+        Hs = jax.device_put(H, NamedSharding(mesh, P("data")))
+        gs = shard_graph(graph, mesh, edge_partition=False)
+        got = jax.jit(fwd)(v, Hs, gs)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_edge_partition_matches_single_device(model_and_data):
+    fwd, variables, H, graph, want = model_and_data
+    mesh = make_mesh(2, 4)   # 2-way data x 4-way edge partition
+    with mesh:
+        v = jax.device_put(variables, replicated(mesh))
+        Hs = jax.device_put(H, NamedSharding(mesh, P("data")))
+        gs = shard_graph(graph, mesh, edge_partition=True)
+        got = jax.jit(fwd)(v, Hs, gs)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_edge_partition_gradients_match(model_and_data):
+    fwd, variables, H, graph, want = model_and_data
+
+    def loss(v, H, g):
+        return jnp.sum(fwd(v, H, g) ** 2)
+
+    g_single = jax.grad(loss)(variables, H, graph)
+    mesh = make_mesh(2, 4)
+    with mesh:
+        v = jax.device_put(variables, replicated(mesh))
+        Hs = jax.device_put(H, NamedSharding(mesh, P("data")))
+        gs = shard_graph(graph, mesh, edge_partition=True)
+        g_sharded = jax.jit(jax.grad(loss))(v, Hs, gs)
+    for a, b in zip(jax.tree.leaves(g_single), jax.tree.leaves(g_sharded)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=1e-5)
