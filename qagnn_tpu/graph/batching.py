@@ -19,6 +19,50 @@ import numpy as np
 
 from qagnn_tpu.graph.container import BatchedGraphs
 
+
+def _native_lib():
+    """C++ packer (qagnn_tpu/native/packer.cc), or None without a toolchain."""
+    try:
+        from qagnn_tpu.native import load_native
+        return load_native()
+    except Exception:
+        return None
+
+
+def _pack_native(lib, edge_indices, edge_types, n_graphs, edges_per_graph,
+                 sort_by_src):
+    import ctypes
+
+    lengths = np.asarray([ei.shape[1] for ei in edge_indices], np.int64)
+    if lengths.sum() == 0:
+        z = np.zeros((n_graphs, edges_per_graph), np.int32)
+        return z, z.copy(), z.copy(), np.zeros_like(z, bool)
+
+    # zero-copy when inputs are already contiguous int32 (the loader emits
+    # exactly that); otherwise convert per graph
+    eis = [np.ascontiguousarray(ei, np.int32) for ei in edge_indices]
+    ets = [np.ascontiguousarray(et, np.int32) for et in edge_types]
+
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    ei_ptrs = (i32p * n_graphs)(
+        *[e.ctypes.data_as(i32p) for e in eis])
+    et_ptrs = (i32p * n_graphs)(
+        *[t.ctypes.data_as(i32p) for t in ets])
+
+    src = np.empty((n_graphs, edges_per_graph), np.int32)
+    dst = np.empty((n_graphs, edges_per_graph), np.int32)
+    typ = np.empty((n_graphs, edges_per_graph), np.int32)
+    mask = np.empty((n_graphs, edges_per_graph), np.uint8)
+
+    def p(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    lib.pack_edges_ptrs(ei_ptrs, et_ptrs, p(lengths, ctypes.c_int64),
+                        n_graphs, edges_per_graph, int(sort_by_src),
+                        p(src, ctypes.c_int32), p(dst, ctypes.c_int32),
+                        p(typ, ctypes.c_int32), p(mask, ctypes.c_uint8))
+    return src, dst, typ, mask.astype(bool)
+
 # Power-of-two-ish edge buckets; the largest comfortably covers CSQA's ~6k
 # directed edges per subgraph after inverse/context augmentation
 # (reference utils/data_utils.py:103 notes ~2905 stored entries pre-doubling).
@@ -58,21 +102,27 @@ def batch_edge_lists(
         max_e = max((ei.shape[1] for ei in edge_indices), default=0)
         edges_per_graph = pick_edge_bucket(max_e, buckets)
 
-    src = np.zeros((n_graphs, edges_per_graph), dtype=np.int32)
-    dst = np.zeros((n_graphs, edges_per_graph), dtype=np.int32)
-    typ = np.zeros((n_graphs, edges_per_graph), dtype=np.int32)
-    mask = np.zeros((n_graphs, edges_per_graph), dtype=bool)
+    native = _native_lib()
+    if native is not None:
+        src, dst, typ, mask = _pack_native(
+            native, edge_indices, edge_types, n_graphs, edges_per_graph,
+            sort_by_src)
+    else:
+        src = np.zeros((n_graphs, edges_per_graph), dtype=np.int32)
+        dst = np.zeros((n_graphs, edges_per_graph), dtype=np.int32)
+        typ = np.zeros((n_graphs, edges_per_graph), dtype=np.int32)
+        mask = np.zeros((n_graphs, edges_per_graph), dtype=bool)
 
-    for g, (ei, et) in enumerate(zip(edge_indices, edge_types)):
-        e = min(ei.shape[1], edges_per_graph)
-        s, d, t = ei[0, :e], ei[1, :e], et[:e]
-        if sort_by_src:
-            order = np.argsort(s, kind="stable")
-            s, d, t = s[order], d[order], t[order]
-        src[g, :e] = s
-        dst[g, :e] = d
-        typ[g, :e] = t
-        mask[g, :e] = True
+        for g, (ei, et) in enumerate(zip(edge_indices, edge_types)):
+            e = min(ei.shape[1], edges_per_graph)
+            s, d, t = ei[0, :e], ei[1, :e], et[:e]
+            if sort_by_src:
+                order = np.argsort(s, kind="stable")
+                s, d, t = s[order], d[order], t[order]
+            src[g, :e] = s
+            dst[g, :e] = d
+            typ[g, :e] = t
+            mask[g, :e] = True
 
     return BatchedGraphs(
         concept_ids=concept_ids.astype(np.int32),
