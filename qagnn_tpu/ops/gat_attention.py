@@ -80,6 +80,23 @@ def relational_gat_attention_nodes(
     if backend is None:
         backend = default_backend()
 
+    if backend == "pallas":
+        if return_alpha:
+            raise NotImplementedError(
+                "return_alpha not supported by the fused kernel; "
+                "use backend='onehot'")
+        from qagnn_tpu.ops.pallas_gat import pallas_relational_gat
+
+        G, N, H, D = node_query.shape
+        flat = lambda t: t.reshape(t.shape[0], t.shape[1], H * D)
+        interpret = jax.default_backend() != "tpu"
+        return pallas_relational_gat(
+            flat(node_query), flat(node_key), flat(node_msg),
+            flat(edge_key_bias), flat(edge_msg_bias),
+            flat(self_key_bias), flat(self_msg_bias),
+            edge_src, edge_dst, edge_mask.astype(node_query.dtype),
+            H, interpret).reshape(G, N, H * D)
+
     if backend == "onehot":
         G, E = edge_src.shape
         N = node_query.shape[1]

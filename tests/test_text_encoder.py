@@ -109,3 +109,29 @@ def test_tiny_config_runs_and_is_finite():
     pooled = enc.apply(params, ids, mask)
     assert pooled.shape == (2, cfg.hidden_size)
     assert bool(jnp.isfinite(pooled).all())
+
+
+def test_lstm_encoder_shapes_and_masking():
+    """Port of the reference's LSTM smoke test
+    (modeling/modeling_encoder.py:146-154) plus a masking check."""
+    from qagnn_tpu.models.lstm_encoder import LSTMTextEncoder
+
+    enc = LSTMTextEncoder(vocab_size=100, emb_size=100, hidden_size=200,
+                          output_size=200, num_layers=4)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, 100, (6, 14)), jnp.int32)
+    lengths = jnp.asarray(rng.integers(1, 14, (6,)), jnp.int32)
+    variables = enc.init(jax.random.PRNGKey(0), ids, lengths)
+    pooled, hidden = enc.apply(variables, ids, lengths)
+    assert pooled.shape == (6, 200)
+    assert len(hidden) == 5
+    assert hidden[0].shape == (6, 14, 100)
+    assert all(h.shape == (6, 14, 200) for h in hidden[1:])
+    assert np.isfinite(np.asarray(pooled)).all()
+
+    # masking: tokens beyond `lengths` must not affect the pooled output
+    ids2 = ids.at[:, 12:].set(7)
+    lengths_short = jnp.full((6,), 10, jnp.int32)
+    p1 = enc.apply(variables, ids, lengths_short)[0]
+    p2 = enc.apply(variables, ids2, lengths_short)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-6)
