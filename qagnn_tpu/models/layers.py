@@ -204,3 +204,140 @@ class CustomizedEmbedding(nn.Module):
                          name="cpt_transform")(x)
             x = gelu(x)
         return x
+
+
+class TypedMultiheadAttPoolLayer(nn.Module):
+    """MultiheadAttPoolLayer with per-type key/value projections
+    (reference utils/layers.py:374-422)."""
+
+    n_head: int
+    d_q_original: int
+    d_k_original: int
+    dropout: float = 0.1
+    n_type: int = 1
+    init_std: float = 0.02
+
+    @nn.compact
+    def __call__(self, q: Array, k: Array, mask: Array | None = None,
+                 type_ids: Array | None = None, *, deterministic: bool = True):
+        """q: (B, dq); k: (B, L, dk); mask: (B, L) True==masked out;
+        type_ids: (B, L) int."""
+        assert self.d_k_original % self.n_head == 0
+        d_k = self.d_k_original // self.n_head
+        bs, len_k = k.shape[0], k.shape[1]
+
+        qs = nn.Dense(self.n_head * d_k, kernel_init=normal_init(self.init_std),
+                      name="w_qs")(q).reshape(bs, self.n_head, d_k)
+        ks = TypedLinear(self.d_k_original, self.n_head * d_k, self.n_type,
+                         init_std=self.init_std, name="w_ks")(
+            k, type_ids).reshape(bs, len_k, self.n_head, d_k)
+        vs = TypedLinear(self.d_k_original, self.n_head * d_k, self.n_type,
+                         init_std=self.init_std, name="w_vs")(
+            k, type_ids).reshape(bs, len_k, self.n_head, d_k)
+
+        qs = qs.transpose(1, 0, 2).reshape(self.n_head * bs, d_k)
+        ks = ks.transpose(2, 0, 1, 3).reshape(self.n_head * bs, len_k, d_k)
+        vs = vs.transpose(2, 0, 1, 3).reshape(self.n_head * bs, len_k, d_k)
+
+        if mask is not None:
+            mask = jnp.tile(mask, (self.n_head, 1))
+        output, attn = MatrixVectorScaledDotProductAttention(
+            temperature=float(d_k) ** 0.5, name="attention")(
+                qs, ks, vs, mask, deterministic=deterministic)
+
+        output = output.reshape(self.n_head, bs, d_k).transpose(1, 0, 2)
+        output = output.reshape(bs, self.n_head * d_k)
+        output = nn.Dropout(self.dropout, deterministic=deterministic)(output)
+        return output, attn
+
+
+class BilinearAttentionLayer(nn.Module):
+    """Bilinear attention pooling (reference utils/layers.py:425-446):
+    attn = softmax(value W q); masked renormalization AFTER the softmax."""
+
+    query_dim: int
+    value_dim: int
+    init_std: float = 0.02
+
+    @nn.compact
+    def __call__(self, query: Array, value: Array,
+                 node_mask: Array | None = None):
+        """query: (B, Dq); value: (B, L, Dv); node_mask: (B, L) 1==keep."""
+        proj = nn.Dense(self.query_dim, use_bias=False,
+                        kernel_init=normal_init(self.init_std),
+                        name="linear")(value)                 # (B, L, Dq)
+        attn = jnp.einsum("bld,bd->bl", proj, query)
+        attn = jax.nn.softmax(attn, axis=1)
+        if node_mask is not None:
+            attn = attn * node_mask
+            attn = attn / jnp.sum(attn, axis=1, keepdims=True)
+        pooled = jnp.einsum("bl,bld->bd", attn, value)
+        return pooled, attn
+
+
+@jax.custom_vjp
+def diff_topk(x: Array, k: int) -> Array:
+    """Straight-through top-k indicator (reference utils/layers.py:489-509):
+    forward emits a 0/1 mask of the top-k entries per row; backward passes
+    the upstream gradient through unchanged."""
+    return _topk_mask(x, k)
+
+
+def _topk_mask(x: Array, k: int) -> Array:
+    _, idx = jax.lax.top_k(x, k)
+    return jnp.zeros_like(x).at[
+        jnp.arange(x.shape[0])[:, None], idx].set(1.0)
+
+
+def _diff_topk_fwd(x, k):
+    return _topk_mask(x, k), None
+
+
+def _diff_topk_bwd(res, g):
+    return g, None
+
+
+diff_topk.defvjp(_diff_topk_fwd, _diff_topk_bwd)
+
+
+def dot_product_similarity(a: Array, b: Array, scale_output: bool = False) -> Array:
+    """(..., D) x (..., D) -> (...) (reference utils/layers.py:530-540)."""
+    result = jnp.sum(a * b, axis=-1)
+    if scale_output:
+        result = result / jnp.sqrt(a.shape[-1])
+    return result
+
+
+def matrix_attention(m1: Array, m2: Array, similarity=dot_product_similarity):
+    """All-pairs similarity (reference utils/layers.py:553-569):
+    (B, L1, D), (B, L2, D) -> (B, L1, L2)."""
+    return similarity(m1[:, :, None, :], m2[:, None, :, :])
+
+
+class TripleEncoder(nn.Module):
+    """(h, r, t) triple encoder over a 3-step (bi)GRU
+    (reference utils/layers.py:235-273). Takes pre-embedded heads/relations/
+    tails via callables to mirror the reference's injected embedding modules."""
+
+    emb_dim: int
+    hidden_dim: int
+    input_p: float = 0.0
+    output_p: float = 0.0
+    bidirectional: bool = True
+
+    @nn.compact
+    def __call__(self, h_emb: Array, r_emb: Array, t_emb: Array, *,
+                 deterministic: bool = True):
+        """h_emb/r_emb/t_emb: (B, emb_dim). Returns (B, hidden_dim)."""
+        drop = nn.Dropout(self.input_p, deterministic=deterministic)
+        seq = jnp.stack([drop(h_emb), drop(r_emb), drop(t_emb)], axis=1)
+
+        half = self.hidden_dim // 2 if self.bidirectional else self.hidden_dim
+        fwd = nn.RNN(nn.GRUCell(half), name="gru_fwd")(seq)
+        if self.bidirectional:
+            bwd = nn.RNN(nn.GRUCell(half), reverse=True, keep_order=True,
+                         name="gru_bwd")(seq)
+            out = jnp.concatenate([fwd[:, -1, :], bwd[:, 0, :]], axis=1)
+        else:
+            out = fwd[:, -1, :]
+        return nn.Dropout(self.output_p, deterministic=deterministic)(out)
