@@ -90,6 +90,9 @@ def main(argv=None):
     for routine in args.run:
         if routine == "common":
             run_common(args.data_root, args.nprocs)
+        elif routine == "medqa_usmle":
+            from qagnn_tpu.preprocess.biomed import run_medqa
+            run_medqa(args.data_root, args.nprocs)
         else:
             run_dataset(routine, args.data_root, args.nprocs, args.lm_scorer)
 

@@ -146,10 +146,14 @@ def generate_adj_data_from_grounded_concepts(
         grounded_path: str, kg_path: str, output_path: str,
         statement_path: str | None = None,
         scorer: Scorer | None = default_uniform_scorer,
-        num_processes: int = 1) -> None:
+        num_processes: int = 1,
+        fallback_q: str | None = None,
+        fallback_a: str | None = None) -> None:
     """Driver (reference generate_adj_data_from_grounded_concepts__use_LM,
     utils/graph.py:463-519). `scorer=None` emits cid2score=None rows (the
-    DDB/MedQA variant)."""
+    DDB/MedQA variant). `fallback_q`/`fallback_a` name concepts substituted
+    for empty question/answer sets (the MedQA notebook's
+    concept2id['31770']/['325'] fallbacks, cell 23)."""
     kg = KG.load(kg_path)
     kg.build_indices()
     global _KG
@@ -169,6 +173,10 @@ def generate_adj_data_from_grounded_concepts(
     for j, dic in enumerate(grounded):
         q_ids = {c2i[c] for c in dic["qc"] if c in c2i}
         a_ids = {c2i[c] for c in dic["ac"] if c in c2i}
+        if not q_ids and fallback_q is not None:
+            q_ids = {c2i[fallback_q]}
+        if not a_ids and fallback_a is not None:
+            a_ids = {c2i[fallback_a]}
         q_ids -= a_ids
         stem = statements[j // n_choices]["question"]["stem"]
         qa_data.append((q_ids, a_ids, f"{stem} {dic['ans']}."))

@@ -67,15 +67,21 @@ def test_native_pack_is_faster(lib, monkeypatch):
             np.zeros((320, 200), np.int32), np.zeros((320, 200), np.float32),
             np.full(320, 200, np.int32))
 
+    def best_of(fn, n=5):
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
     batching.batch_edge_lists(*args, edges_per_graph=8192)  # warm (may build)
-    t0 = time.perf_counter()
-    batching.batch_edge_lists(*args, edges_per_graph=8192)
-    t_native = time.perf_counter() - t0
+    t_native = best_of(
+        lambda: batching.batch_edge_lists(*args, edges_per_graph=8192))
 
     monkeypatch.setattr(batching, "_native_lib", lambda: None)
-    t0 = time.perf_counter()
-    batching.batch_edge_lists(*args, edges_per_graph=8192)
-    t_numpy = time.perf_counter() - t0
-    # informational speed check; be generous to avoid CI flakiness
+    t_numpy = best_of(
+        lambda: batching.batch_edge_lists(*args, edges_per_graph=8192))
+    # best-of-N to ride out CPU contention from neighbouring test processes
     assert t_native < t_numpy * 1.5, (t_native, t_numpy)
     print(f"native {t_native*1e3:.1f}ms vs numpy {t_numpy*1e3:.1f}ms")
