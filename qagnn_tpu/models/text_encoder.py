@@ -45,6 +45,14 @@ class TextEncoderConfig:
     # RoBERTa numbers position ids starting at pad_token_id + 1 and derives
     # them from the attention mask; BERT counts from 0 unconditionally.
     roberta_style_positions: bool = False
+    # ALBERT: factorized embedding (embed at embedding_size, project to
+    # hidden), one transformer block shared across all layers, tanh-approx
+    # gelu, and the reference pools raw h[:, 0] with no pooler dense
+    # (reference modeling/modeling_encoder.py:138-140).
+    embedding_size: int | None = None
+    share_layers: bool = False
+    hidden_act: str = "gelu"         # "gelu" (exact, BERT) | "gelu_new" (tanh)
+    raw_cls_pool: bool = False
     dtype: jnp.dtype = jnp.float32   # compute dtype (bf16 on TPU)
 
     @classmethod
@@ -67,6 +75,20 @@ class TextEncoderConfig:
     def bert_base(cls, **kw):
         """Also SapBERT (PubMedBERT-fulltext architecture)."""
         return cls(vocab_size=30522, **kw)
+
+    @classmethod
+    def albert_base(cls, **kw):
+        return cls(vocab_size=30000, hidden_size=768, num_layers=12,
+                   num_heads=12, intermediate_size=3072,
+                   embedding_size=128, share_layers=True,
+                   hidden_act="gelu_new", raw_cls_pool=True, **kw)
+
+    @classmethod
+    def albert_xxlarge(cls, **kw):
+        return cls(vocab_size=30000, hidden_size=4096, num_layers=12,
+                   num_heads=64, intermediate_size=16384,
+                   embedding_size=128, share_layers=True,
+                   hidden_act="gelu_new", raw_cls_pool=True, **kw)
 
     @classmethod
     def tiny(cls, **kw):
@@ -122,7 +144,8 @@ class TransformerBlock(nn.Module):
                          name="attention_ln")(h + a)
         f = nn.Dense(cfg.intermediate_size, dtype=cfg.dtype,
                      name="intermediate")(h)
-        f = jax.nn.gelu(f, approximate=False)  # HF BERT uses exact gelu
+        # HF BERT uses exact gelu; ALBERT/GPT use the tanh approximation
+        f = jax.nn.gelu(f, approximate=(cfg.hidden_act == "gelu_new"))
         f = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, name="output")(f)
         f = nn.Dropout(cfg.hidden_dropout, deterministic=not train)(f)
         return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
@@ -158,32 +181,42 @@ class TextEncoder(nn.Module):
         else:
             position_ids = jnp.broadcast_to(jnp.arange(L)[None, :], (B, L))
 
-        we = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=cfg.dtype,
+        emb_dim = cfg.embedding_size or cfg.hidden_size
+        we = nn.Embed(cfg.vocab_size, emb_dim, dtype=cfg.dtype,
                       name="word_embeddings")(input_ids)
-        pe = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,
+        pe = nn.Embed(cfg.max_position_embeddings, emb_dim,
                       dtype=cfg.dtype, name="position_embeddings")(position_ids)
-        te = nn.Embed(max(cfg.type_vocab_size, 1), cfg.hidden_size,
+        te = nn.Embed(max(cfg.type_vocab_size, 1), emb_dim,
                       dtype=cfg.dtype, name="token_type_embeddings")(
             jnp.clip(token_type_ids, 0, max(cfg.type_vocab_size, 1) - 1))
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
                          use_fast_variance=False,
                          name="embeddings_ln")(we + pe + te)
         h = nn.Dropout(cfg.hidden_dropout, deterministic=not train)(h)
+        if emb_dim != cfg.hidden_size:   # ALBERT factorized embedding
+            h = nn.Dense(cfg.hidden_size, dtype=cfg.dtype,
+                         name="embedding_projection")(h)
 
         attn_bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0,
                               jnp.float32(-1e9))  # (B, 1, 1, L)
 
         all_hidden = [h]
+        shared = (TransformerBlock(cfg, name="layer_shared")
+                  if cfg.share_layers else None)
         for i in range(cfg.num_layers):
-            h = TransformerBlock(cfg, name=f"layer_{i}")(h, attn_bias,
-                                                         train=train)
+            block = shared if shared is not None \
+                else TransformerBlock(cfg, name=f"layer_{i}")
+            h = block(h, attn_bias, train=train)
             all_hidden.append(h)
 
         # Selectable-layer pooler (reference modeling/modeling_encoder.py:126,142)
         chosen = all_hidden[layer_id]
-        pooled = nn.Dense(cfg.hidden_size, dtype=cfg.dtype,
-                          name="pooler")(chosen[:, 0])
-        pooled = jnp.tanh(pooled)
+        if cfg.raw_cls_pool:   # ALBERT branch: raw h[:, 0], no pooler dense
+            pooled = chosen[:, 0]
+        else:
+            pooled = nn.Dense(cfg.hidden_size, dtype=cfg.dtype,
+                              name="pooler")(chosen[:, 0])
+            pooled = jnp.tanh(pooled)
 
         if return_all_hidden:
             return pooled, tuple(all_hidden)
@@ -246,8 +279,65 @@ def convert_hf_encoder_params(state_dict: dict) -> dict:
     return p
 
 
+def convert_hf_albert_params(state_dict: dict) -> dict:
+    """Map an HF AlbertModel state_dict to this encoder's param tree
+    (shared block under "layer_shared"; factorized embedding projection)."""
+
+    def a(t):
+        t = t.detach().cpu().numpy() if hasattr(t, "detach") else np.asarray(t)
+        return jnp.asarray(t)
+
+    def dense(prefix):
+        return {"kernel": a(state_dict[prefix + ".weight"]).T,
+                "bias": a(state_dict[prefix + ".bias"])}
+
+    def ln(prefix):
+        return {"scale": a(state_dict[prefix + ".weight"]),
+                "bias": a(state_dict[prefix + ".bias"])}
+
+    layer = "encoder.albert_layer_groups.0.albert_layers.0"
+    return {
+        "word_embeddings": {"embedding": a(state_dict[
+            "embeddings.word_embeddings.weight"])},
+        "position_embeddings": {"embedding": a(state_dict[
+            "embeddings.position_embeddings.weight"])},
+        "token_type_embeddings": {"embedding": a(state_dict[
+            "embeddings.token_type_embeddings.weight"])},
+        "embeddings_ln": ln("embeddings.LayerNorm"),
+        "embedding_projection": dense("encoder.embedding_hidden_mapping_in"),
+        "layer_shared": {
+            "attention": {
+                "query": dense(layer + ".attention.query"),
+                "key": dense(layer + ".attention.key"),
+                "value": dense(layer + ".attention.value"),
+                "out": dense(layer + ".attention.dense"),
+            },
+            "attention_ln": ln(layer + ".attention.LayerNorm"),
+            "intermediate": dense(layer + ".ffn"),
+            "output": dense(layer + ".ffn_output"),
+            "output_ln": ln(layer + ".full_layer_layer_norm"),
+        },
+    }
+
+
 def config_from_hf(hf_config) -> TextEncoderConfig:
-    """Build a TextEncoderConfig from an HF BertConfig/RobertaConfig."""
+    """Build a TextEncoderConfig from an HF Bert/Roberta/AlbertConfig."""
+    if hf_config.model_type == "albert":
+        return TextEncoderConfig(
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            intermediate_size=hf_config.intermediate_size,
+            max_position_embeddings=hf_config.max_position_embeddings,
+            type_vocab_size=hf_config.type_vocab_size,
+            layer_norm_eps=hf_config.layer_norm_eps,
+            hidden_dropout=hf_config.hidden_dropout_prob,
+            attention_dropout=hf_config.attention_probs_dropout_prob,
+            pad_token_id=hf_config.pad_token_id or 0,
+            embedding_size=hf_config.embedding_size,
+            share_layers=True, hidden_act="gelu_new", raw_cls_pool=True,
+        )
     is_roberta = hf_config.model_type in ("roberta", "camembert", "xlm-roberta")
     return TextEncoderConfig(
         vocab_size=hf_config.vocab_size,
