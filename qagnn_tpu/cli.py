@@ -74,10 +74,14 @@ def encoder_config_for(cfg: TrainConfig):
         return TextEncoderConfig.bert_base(hidden_size=1024, num_layers=24,
                                            num_heads=16,
                                            intermediate_size=4096, dtype=dtype)
+    if name.startswith("albert-xxlarge"):
+        return TextEncoderConfig.albert_xxlarge(dtype=dtype)
+    if name.startswith("albert"):
+        return TextEncoderConfig.albert_base(dtype=dtype)
     if name == "tiny":  # tests / smoke runs
         return TextEncoderConfig.tiny(dtype=dtype)
     raise ValueError(f"unsupported encoder {name!r} "
-                     "(roberta/bert/SapBERT families implemented)")
+                     "(roberta/bert/SapBERT/albert families implemented)")
 
 
 def train(cfg: TrainConfig) -> dict:

@@ -78,6 +78,11 @@ class TextEncoderConfig:
 
     @classmethod
     def albert_base(cls, **kw):
+        # ALBERT v2 checkpoints (vocab 30000, gelu_new) train with ZERO
+        # dropout — inheriting the class default 0.1 would silently diverge
+        # from the HF/reference fine-tuning setup.
+        kw.setdefault("hidden_dropout", 0.0)
+        kw.setdefault("attention_dropout", 0.0)
         return cls(vocab_size=30000, hidden_size=768, num_layers=12,
                    num_heads=12, intermediate_size=3072,
                    embedding_size=128, share_layers=True,
@@ -85,6 +90,8 @@ class TextEncoderConfig:
 
     @classmethod
     def albert_xxlarge(cls, **kw):
+        kw.setdefault("hidden_dropout", 0.0)
+        kw.setdefault("attention_dropout", 0.0)
         return cls(vocab_size=30000, hidden_size=4096, num_layers=12,
                    num_heads=64, intermediate_size=16384,
                    embedding_size=128, share_layers=True,
@@ -295,6 +302,13 @@ def convert_hf_albert_params(state_dict: dict) -> dict:
         return {"scale": a(state_dict[prefix + ".weight"]),
                 "bias": a(state_dict[prefix + ".bias"])}
 
+    # refuse multi-group checkpoints (they have >1 distinct block; mapping
+    # group 0 alone would be silently wrong)
+    extra = [k for k in state_dict
+             if ".albert_layer_groups." in k
+             and not k.startswith("encoder.albert_layer_groups.0.albert_layers.0.")]
+    assert not extra, (
+        f"multi-group ALBERT checkpoint not supported (found {extra[:3]}...)")
     layer = "encoder.albert_layer_groups.0.albert_layers.0"
     return {
         "word_embeddings": {"embedding": a(state_dict[
@@ -323,6 +337,13 @@ def convert_hf_albert_params(state_dict: dict) -> dict:
 def config_from_hf(hf_config) -> TextEncoderConfig:
     """Build a TextEncoderConfig from an HF Bert/Roberta/AlbertConfig."""
     if hf_config.model_type == "albert":
+        # The flax module shares ONE block across layers; multi-group ALBERT
+        # (num_hidden_groups > 1 or inner_group_num > 1) has several distinct
+        # blocks and would convert silently wrong.
+        assert getattr(hf_config, "num_hidden_groups", 1) == 1, (
+            "only num_hidden_groups=1 ALBERT is supported")
+        assert getattr(hf_config, "inner_group_num", 1) == 1, (
+            "only inner_group_num=1 ALBERT is supported")
         return TextEncoderConfig(
             vocab_size=hf_config.vocab_size,
             hidden_size=hf_config.hidden_size,
@@ -336,7 +357,10 @@ def config_from_hf(hf_config) -> TextEncoderConfig:
             attention_dropout=hf_config.attention_probs_dropout_prob,
             pad_token_id=hf_config.pad_token_id or 0,
             embedding_size=hf_config.embedding_size,
-            share_layers=True, hidden_act="gelu_new", raw_cls_pool=True,
+            share_layers=True,
+            # v2 checkpoints say "gelu_new"; v1 says "gelu" (exact)
+            hidden_act=getattr(hf_config, "hidden_act", "gelu_new"),
+            raw_cls_pool=True,
         )
     is_roberta = hf_config.model_type in ("roberta", "camembert", "xlm-roberta")
     return TextEncoderConfig(

@@ -100,6 +100,71 @@ def test_layer_id_selects_hidden_layer():
     np.testing.assert_allclose(np.asarray(pooled1), want, rtol=2e-4, atol=2e-5)
 
 
+def test_albert_matches_torch_reference():
+    """ALBERT parity: factorized embedding, shared block, raw-CLS pool
+    (reference modeling/modeling_encoder.py:138-140 pools hidden[:, 0] with
+    no pooler dense for the albert family)."""
+    import torch
+    from transformers import AlbertConfig, AlbertModel
+
+    from qagnn_tpu.models.text_encoder import convert_hf_albert_params
+
+    torch.manual_seed(0)
+    hf_cfg = AlbertConfig(vocab_size=99, embedding_size=16, hidden_size=32,
+                          num_hidden_layers=3, num_attention_heads=2,
+                          intermediate_size=64, max_position_embeddings=40,
+                          type_vocab_size=2, hidden_act="gelu_new",
+                          num_hidden_groups=1, inner_group_num=1,
+                          hidden_dropout_prob=0.0,
+                          attention_probs_dropout_prob=0.0)
+    torch_model = AlbertModel(hf_cfg)
+    torch_model.eval()
+
+    cfg = config_from_hf(hf_cfg)
+    assert cfg.share_layers and cfg.raw_cls_pool
+    assert cfg.embedding_size == 16
+    params = convert_hf_albert_params(dict(torch_model.state_dict()))
+
+    rng = np.random.default_rng(0)
+    B, L = 3, 10
+    input_ids = rng.integers(5, 90, (B, L))
+    attention_mask = np.ones((B, L), np.int64)
+    attention_mask[1, 6:] = 0
+
+    with torch.no_grad():
+        out = torch_model(torch.tensor(input_ids),
+                          attention_mask=torch.tensor(attention_mask),
+                          output_hidden_states=True)
+    want_hidden = [h.numpy() for h in out.hidden_states]
+
+    enc = TextEncoder(cfg)
+    pooled, all_hidden = enc.apply(
+        {"params": params}, jnp.asarray(input_ids),
+        jnp.asarray(attention_mask), layer_id=-1, return_all_hidden=True)
+
+    # HF AlbertTransformer records hidden_states[0] AFTER the factorized
+    # embedding projection, same as this encoder — compare every layer
+    assert len(all_hidden) == len(want_hidden)
+    for i in range(len(want_hidden)):
+        for b in range(B):
+            real = int(attention_mask[b].sum())
+            np.testing.assert_allclose(
+                np.asarray(all_hidden[i])[b, :real], want_hidden[i][b, :real],
+                rtol=2e-4, atol=2e-5, err_msg=f"layer {i} row {b}")
+    np.testing.assert_allclose(np.asarray(pooled),
+                               want_hidden[-1][:, 0], rtol=2e-4, atol=2e-5)
+
+
+def test_albert_converter_rejects_multigroup():
+    import pytest as _pytest
+
+    from qagnn_tpu.models.text_encoder import convert_hf_albert_params
+
+    fake = {"encoder.albert_layer_groups.1.albert_layers.0.ffn.weight": None}
+    with _pytest.raises(AssertionError):
+        convert_hf_albert_params(fake)
+
+
 def test_tiny_config_runs_and_is_finite():
     cfg = TextEncoderConfig.tiny()
     enc = TextEncoder(cfg)
