@@ -45,7 +45,7 @@ def build_model_and_data(cfg: TrainConfig, tokenizer=None):
     cp_emb = np.concatenate(cp_embs, axis=1).astype(np.float32)
     n_concept, concept_in_dim = cp_emb.shape
 
-    enc_cfg = encoder_config_for(cfg)
+    enc_cfg, pretrained_encoder = load_pretrained_encoder(cfg)
     model = LMQAGNN(
         encoder=TextEncoder(enc_cfg), sent_dim=enc_cfg.hidden_size,
         k=cfg.k, n_ntype=4, n_etype=cfg.num_relation,
@@ -54,7 +54,33 @@ def build_model_and_data(cfg: TrainConfig, tokenizer=None):
         fc_dim=cfg.fc_dim, n_fc_layer=cfg.fc_layer_num,
         p_emb=cfg.dropouti, p_gnn=cfg.dropoutg, p_fc=cfg.dropoutf,
         init_std=cfg.init_range)
-    return dataset, model, cp_emb
+    return dataset, model, cp_emb, pretrained_encoder
+
+
+def load_pretrained_encoder(cfg: TrainConfig):
+    """Resolve the encoder config + pretrained weights for --encoder_load.
+
+    The reference ALWAYS starts from HF pretrained weights (reference
+    modeling/modeling_encoder.py:102-108); here the checkpoint source is the
+    explicit --encoder_load path/name (an HF save_pretrained dir, a torch
+    state-dict file, or a cached hub name) because the training hosts have no
+    network egress. When a config.json rides with the weights it wins over
+    the name-based preset, so shapes always match the checkpoint.
+    """
+    if not cfg.encoder_load:
+        return encoder_config_for(cfg), None
+
+    import jax.numpy as jnp
+
+    from qagnn_tpu.models.hf_loading import load_encoder_checkpoint
+
+    dtype = jnp.bfloat16 if cfg.encoder_dtype == "bfloat16" else jnp.float32
+    try:
+        fallback = encoder_config_for(cfg)
+    except ValueError:
+        fallback = None
+    return load_encoder_checkpoint(cfg.encoder_load, dtype=dtype,
+                                   fallback_config=fallback)
 
 
 def encoder_config_for(cfg: TrainConfig):
@@ -99,7 +125,11 @@ def train(cfg: TrainConfig) -> dict:
     with open(log_path, "w") as f:
         f.write("step,dev_acc,test_acc\n")
 
-    dataset, model, cp_emb = build_model_and_data(cfg)
+    dataset, model, cp_emb, pretrained_encoder = build_model_and_data(cfg)
+    if pretrained_encoder is None and cfg.encoder != "tiny":
+        print(f"WARNING: encoder {cfg.encoder!r} starts from RANDOM weights "
+              "— pass --encoder_load for the reference's pretrained-LM "
+              "behavior", flush=True)
 
     rng = jax.random.PRNGKey(cfg.seed)
     _, sample = next(dataset.train())
@@ -129,12 +159,23 @@ def train(cfg: TrainConfig) -> dict:
     from qagnn_tpu.train.step import TrainState
     pretrained = {"decoder": {"concept_emb": {"emb": {
         "embedding": jnp.asarray(cp_emb)}}}}
+    if pretrained_encoder is not None:
+        pretrained["encoder"] = pretrained_encoder
     from qagnn_tpu.train.step import _merge_pretrained
     params = _merge_pretrained(params, pretrained)
     state = TrainState(params=params,
                        batch_stats=variables.get("batch_stats", {}),
                        opt_state=optimizer.init(params),
                        step=jnp.zeros([], jnp.int32), rng=rng)
+
+    # Warm-start / resume (reference qagnn.py:163-166 --load_model_path —
+    # but restoring FULL state: params + BN stats + optimizer + step).
+    if cfg.load_model_path:
+        from qagnn_tpu.utils.checkpoint import load_checkpoint, restore_into
+        loaded, _ = load_checkpoint(cfg.load_model_path)
+        state = restore_into(state, loaded)
+        print(f"resumed from {cfg.load_model_path} at step "
+              f"{int(state.step)}", flush=True)
 
     num_mb = max(1, cfg.batch_size // cfg.mini_batch_size) \
         if cfg.mini_batch_size > 0 else 1
@@ -215,7 +256,8 @@ def eval_detail(cfg: TrainConfig) -> dict:
     from qagnn_tpu.utils.checkpoint import load_checkpoint
 
     state_dict, saved_cfg = load_checkpoint(cfg.load_model_path)
-    dataset, model, _ = build_model_and_data(saved_cfg)
+    saved_cfg.encoder_load = None  # weights come from the checkpoint
+    dataset, model, _, _ = build_model_and_data(saved_cfg)
     eval_step = make_eval_step(model, encoder_layer_id=saved_cfg.encoder_layer)
 
     params, batch_stats = state_dict["params"], state_dict["batch_stats"]

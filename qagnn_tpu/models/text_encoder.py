@@ -265,8 +265,14 @@ def convert_hf_encoder_params(state_dict: dict) -> dict:
         "token_type_embeddings": {"embedding": a(find(
             "embeddings.token_type_embeddings.weight"))},
         "embeddings_ln": ln("embeddings.LayerNorm"),
-        "pooler": dense("pooler.dense"),
     }
+    # MLM-style checkpoints (e.g. hub roberta-large) ship no pooler; leaving
+    # the key out keeps the freshly initialized pooler on merge — the same
+    # behavior as HF AutoModel.from_pretrained (random pooler + warning),
+    # which is what the reference trains from
+    # (reference modeling/modeling_encoder.py:102-108).
+    if "pooler.dense.weight" in state_dict:
+        p["pooler"] = dense("pooler.dense")
     i = 0
     while f"encoder.layer.{i}.attention.self.query.weight" in state_dict:
         base = f"encoder.layer.{i}"

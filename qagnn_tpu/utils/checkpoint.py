@@ -61,6 +61,37 @@ def load_checkpoint(path: str):
     return state, cfg
 
 
+def restore_into(template: Any, pure: Any):
+    """Rebuild a structured state (TrainState with nested namedtuple optimizer
+    state) from the plain nested-dict tree save_checkpoint wrote. The template
+    supplies structure and dtypes; `pure` supplies values. Used by train
+    warm-start/resume (reference qagnn.py:163-166 --load_model_path, but with
+    FULL state — the reference reloads weights only)."""
+    import jax.numpy as jnp
+
+    if hasattr(template, "__dataclass_fields__"):
+        kw = {k: restore_into(getattr(template, k), pure[k])
+              for k in template.__dataclass_fields__}
+        if hasattr(template, "replace"):          # flax struct
+            return template.replace(**kw)
+        return dataclasses.replace(template, **kw)
+    if isinstance(template, dict):
+        return {k: restore_into(v, pure[k]) for k, v in template.items()}
+    if isinstance(template, tuple):
+        vals = [restore_into(v, pure[str(i)]) for i, v in enumerate(template)]
+        if hasattr(template, "_fields"):          # namedtuple
+            return type(template)(*vals)
+        return tuple(vals)
+    if isinstance(template, list):
+        return [restore_into(v, pure[str(i)]) for i, v in enumerate(template)]
+    if template is None:
+        return None
+    arr = jnp.asarray(pure)
+    assert arr.shape == template.shape, (
+        f"checkpoint/model shape mismatch: {arr.shape} vs {template.shape}")
+    return arr.astype(template.dtype)
+
+
 def _to_pure_tree(state: Any):
     """Flatten a flax struct dataclass into a plain nested dict."""
     if hasattr(state, "__dataclass_fields__"):

@@ -81,6 +81,10 @@ class TrainConfig:
 
     # encoder
     encoder: str = "roberta-large"
+    # pretrained checkpoint source: HF save_pretrained dir, torch state-dict
+    # file, or cached hub name (reference always trains from pretrained,
+    # modeling/modeling_encoder.py:102-108)
+    encoder_load: str | None = None
     encoder_layer: int = -1
     encoder_lr: float | None = None      # resolved per dataset+encoder
     encoder_dtype: str = "float32"       # float32 | bfloat16 (replaces fp16)

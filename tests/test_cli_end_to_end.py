@@ -18,24 +18,49 @@ VOCAB = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
          "what", "did", "do", "?", "animal", "says", "meow", "woof"]
 
 
-def _write_dataset(root, n_questions=4, n_choices=2, n_concept=50):
+SUBJECTS = ["cat", "dog", "animal", "mat"]
+
+
+def _write_dataset(root, n_questions=4, n_choices=2, n_concept=50,
+                   dev_equals_train=False):
+    """Synthetic dataset; stems are distinguishable per question so a model
+    CAN overfit. dev_equals_train makes dev a copy of train (used by the
+    overfit test: train-set memorization shows up as dev_acc == 1)."""
     import scipy.sparse as sp
     rng = np.random.default_rng(0)
     os.makedirs(f"{root}/statement", exist_ok=True)
     os.makedirs(f"{root}/graph", exist_ok=True)
 
+    train_lines = None
     for split, n in [("train", n_questions), ("dev", 2), ("test", 2)]:
-        with open(f"{root}/statement/{split}.statement.jsonl", "w") as f:
+        lines = []
+        if dev_equals_train and split == "dev" and train_lines:
+            lines = [json.loads(l) for l in train_lines]
+            for i, d in enumerate(lines):
+                d["id"] = f"dev-{i}"
+        else:
             for i in range(n):
+                subj = SUBJECTS[i % len(SUBJECTS)]
                 d = {"id": f"{split}-{i}",
                      "answerKey": "AB"[int(rng.integers(0, n_choices))],
                      "question": {
-                         "stem": "what did the cat do ?",
+                         "stem": f"what did the {subj} do ?",
                          "choices": [{"label": "A", "text": "sat on the mat"},
                                      {"label": "B", "text": "ran fast"}]}}
-                f.write(json.dumps(d) + "\n")
+                lines.append(d)
+        with open(f"{root}/statement/{split}.statement.jsonl", "w") as f:
+            serialized = [json.dumps(d) + "\n" for d in lines]
+            f.writelines(serialized)
+            if split == "train":
+                train_lines = serialized
+        if dev_equals_train and split == "dev":
+            # graphs must also match train's for memorization to transfer
+            import shutil
+            shutil.copy(f"{root}/graph/train.graph.adj.pk",
+                        f"{root}/graph/dev.graph.adj.pk")
+            continue
         rows = []
-        for _ in range(n * n_choices):
+        for _ in range(len(lines) * n_choices):
             nn_ = int(rng.integers(2, 6))
             concepts = rng.choice(n_concept - 1, nn_, replace=False).astype(np.int64)
             qm = np.zeros(nn_, bool); qm[0] = True
@@ -53,6 +78,79 @@ def _write_dataset(root, n_questions=4, n_choices=2, n_concept=50):
     emb_path = f"{root}/ent_emb.npy"
     np.save(emb_path, rng.standard_normal((n_concept, 24)).astype(np.float32))
     return emb_path
+
+
+def _tokenizer(tmp_path):
+    from transformers import BertTokenizerFast
+    vpath = tmp_path / "vocab.txt"
+    vpath.write_text("\n".join(VOCAB))
+    return BertTokenizerFast(vocab_file=str(vpath), do_lower_case=True)
+
+
+def _fix_paths(cfg, root, emb_path):
+    """resolved() re-formats paths with {dataset}; ours are absolute."""
+    cfg.train_statements = f"{root}/statement/train.statement.jsonl"
+    cfg.dev_statements = f"{root}/statement/dev.statement.jsonl"
+    cfg.test_statements = f"{root}/statement/test.statement.jsonl"
+    cfg.train_adj = f"{root}/graph/train.graph.adj.pk"
+    cfg.dev_adj = f"{root}/graph/dev.graph.adj.pk"
+    cfg.test_adj = f"{root}/graph/test.graph.adj.pk"
+    cfg.ent_emb_paths = (emb_path,)
+    return cfg
+
+
+def test_cli_overfit_checkpoint_eval_detail_resume(tmp_path, monkeypatch):
+    """Three driver guarantees the smoke test can't give:
+    1. training LEARNS — a 4-question set is overfit to dev_acc 1.0
+       (dev == train), so a zero-gradient train step would fail loudly;
+    2. checkpoint -> eval_detail round-trip reproduces the saved accuracy
+       (reference qagnn.py:343-430);
+    3. --load_model_path warm-starts training from the saved step
+       (reference qagnn.py:163-166)."""
+    import dataclasses
+
+    root = str(tmp_path / "data")
+    emb_path = _write_dataset(root, dev_equals_train=True)
+    tok = _tokenizer(tmp_path)
+
+    import qagnn_tpu.cli as cli
+    orig = cli.build_model_and_data
+    monkeypatch.setattr(cli, "build_model_and_data",
+                        lambda cfg, tokenizer=None: orig(cfg, tokenizer=tok))
+
+    cfg = _fix_paths(TrainConfig(
+        dataset="csqa", encoder="tiny", inhouse=False,
+        save_dir=str(tmp_path / "out"), save_model=True,
+        n_epochs=170, batch_size=4, mini_batch_size=2, eval_batch_size=2,
+        max_seq_len=16, max_node_num=8, num_relation=10,
+        k=1, gnn_dim=8, fc_dim=8, att_head_num=2,
+        dropouti=0.0, dropoutg=0.0, dropoutf=0.0,
+        unfreeze_epoch=0, log_interval=1000, max_epochs_before_stop=1000,
+        decoder_lr=3e-3, encoder_lr=1e-3,
+    ).resolved(), root, emb_path)
+
+    result = cli.train(cfg)
+    assert result["best_dev_acc"] == 1.0, (
+        f"failed to overfit 4 questions: {result}")
+
+    # --- checkpoint -> eval_detail round-trip -----------------------------
+    ckpt = os.path.join(cfg.save_dir, "checkpoint")
+    cfg_eval = dataclasses.replace(cfg, mode="eval_detail",
+                                   load_model_path=ckpt,
+                                   save_dir=str(tmp_path / "out_eval"))
+    os.makedirs(cfg_eval.save_dir, exist_ok=True)
+    r2 = cli.eval_detail(cfg_eval)
+    assert r2["dev_acc"] == result["best_dev_acc"]
+    assert os.path.exists(os.path.join(cfg_eval.save_dir,
+                                       "predictions_test.csv"))
+
+    # --- warm-start/resume -------------------------------------------------
+    cfg_resume = dataclasses.replace(cfg, load_model_path=ckpt,
+                                     save_dir=str(tmp_path / "out_resume"),
+                                     n_epochs=1, save_model=False)
+    r3 = cli.train(cfg_resume)
+    # restored params were already at dev_acc 1.0; one more epoch keeps it
+    assert r3["best_dev_acc"] == 1.0
 
 
 def test_cli_train_end_to_end(tmp_path, monkeypatch):
