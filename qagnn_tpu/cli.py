@@ -28,7 +28,6 @@ def build_model_and_data(cfg: TrainConfig, tokenizer=None):
 
     from qagnn_tpu.data.loader import QAGNNDataLoader
     from qagnn_tpu.models.qagnn import LMQAGNN
-    from qagnn_tpu.models.text_encoder import TextEncoder, TextEncoderConfig
 
     dataset = QAGNNDataLoader(
         train_statements=cfg.train_statements, train_adj=cfg.train_adj,
@@ -46,8 +45,9 @@ def build_model_and_data(cfg: TrainConfig, tokenizer=None):
     n_concept, concept_in_dim = cp_emb.shape
 
     enc_cfg, pretrained_encoder = load_pretrained_encoder(cfg)
+    encoder_module = make_encoder(enc_cfg)
     model = LMQAGNN(
-        encoder=TextEncoder(enc_cfg), sent_dim=enc_cfg.hidden_size,
+        encoder=encoder_module, sent_dim=enc_cfg.hidden_size,
         k=cfg.k, n_ntype=4, n_etype=cfg.num_relation,
         n_concept=n_concept, concept_dim=cfg.gnn_dim,
         concept_in_dim=concept_in_dim, n_attention_head=cfg.att_head_num,
@@ -83,13 +83,40 @@ def load_pretrained_encoder(cfg: TrainConfig):
                                    fallback_config=fallback)
 
 
+def make_encoder(enc_cfg):
+    """Encoder module for a resolved config — the flax counterpart of the
+    reference's MODEL_NAME_TO_CLASS dispatch
+    (reference modeling/modeling_encoder.py:16-32,89-108)."""
+    from qagnn_tpu.models.gpt_encoder import GPTConfig, GPTTextEncoder
+    from qagnn_tpu.models.text_encoder import TextEncoder
+    from qagnn_tpu.models.xlnet_encoder import XLNetConfig, XLNetTextEncoder
+
+    if isinstance(enc_cfg, GPTConfig):
+        return GPTTextEncoder(enc_cfg)
+    if isinstance(enc_cfg, XLNetConfig):
+        return XLNetTextEncoder(enc_cfg)
+    return TextEncoder(enc_cfg)
+
+
 def encoder_config_for(cfg: TrainConfig):
     import jax.numpy as jnp
 
+    from qagnn_tpu.models.gpt_encoder import GPTConfig
     from qagnn_tpu.models.text_encoder import TextEncoderConfig
+    from qagnn_tpu.models.xlnet_encoder import XLNetConfig
 
     dtype = jnp.bfloat16 if cfg.encoder_dtype == "bfloat16" else jnp.float32
     name = cfg.encoder
+    if name == "tiny-gpt":
+        return GPTConfig.tiny(dtype=dtype)
+    if name == "tiny-xlnet":
+        return XLNetConfig.tiny(dtype=dtype)
+    if "gpt" in name:
+        return GPTConfig.openai_gpt(dtype=dtype)
+    if name.startswith("xlnet-large"):
+        return XLNetConfig.xlnet_large(dtype=dtype)
+    if name.startswith("xlnet"):
+        return XLNetConfig(dtype=dtype)
     if name == "roberta-large":
         return TextEncoderConfig.roberta_large(dtype=dtype)
     if name == "roberta-base":
@@ -106,8 +133,9 @@ def encoder_config_for(cfg: TrainConfig):
         return TextEncoderConfig.albert_base(dtype=dtype)
     if name == "tiny":  # tests / smoke runs
         return TextEncoderConfig.tiny(dtype=dtype)
-    raise ValueError(f"unsupported encoder {name!r} "
-                     "(roberta/bert/SapBERT/albert families implemented)")
+    raise ValueError(
+        f"unsupported encoder {name!r} (roberta/bert/SapBERT/albert/gpt/"
+        "xlnet families implemented; lstm via --encoder lstm)")
 
 
 def train(cfg: TrainConfig) -> dict:

@@ -35,18 +35,23 @@ from qagnn_tpu.models.text_encoder import (
 )
 
 # base-model prefixes used by HF task heads (e.g. ...ForMaskedLM checkpoints)
-_BASE_PREFIXES = ("bert.", "roberta.", "albert.", "model.")
+_BASE_PREFIXES = ("bert.", "roberta.", "albert.", "transformer.", "model.")
 # head weights that have no place in the bare encoder
 _HEAD_PREFIXES = ("cls.", "lm_head.", "classifier.", "qa_outputs.",
                   "predictions.", "sop_classifier.")
 
 
+# first-key markers of a bare encoder state dict, per family
+_BARE_MARKERS = ("embeddings.", "tokens_embed.", "word_embedding.")
+
+
 def strip_hf_prefixes(state_dict: dict[str, Any]) -> dict[str, Any]:
     """Unwrap task-model checkpoints to bare-encoder key names."""
     keys = list(state_dict)
-    if not any(k.startswith("embeddings.") for k in keys):
+    if not any(k.startswith(_BARE_MARKERS) for k in keys):
         for pref in _BASE_PREFIXES:
-            if any(k.startswith(pref + "embeddings.") for k in keys):
+            if any(k.startswith(pref + m) for k in keys
+                   for m in _BARE_MARKERS):
                 state_dict = {k[len(pref):]: v for k, v in state_dict.items()
                               if k.startswith(pref)}
                 break
@@ -112,8 +117,18 @@ def load_encoder_checkpoint(
     state_dict = strip_hf_prefixes(state_dict)
 
     is_albert = any(".albert_layer_groups." in k for k in state_dict)
+    is_gpt = "tokens_embed.weight" in state_dict
+    is_xlnet = "word_embedding.weight" in state_dict
+
     if hf_cfg is not None:
-        cfg = config_from_hf(hf_cfg)
+        if is_gpt:
+            from qagnn_tpu.models.gpt_encoder import gpt_config_from_hf
+            cfg = gpt_config_from_hf(hf_cfg)
+        elif is_xlnet:
+            from qagnn_tpu.models.xlnet_encoder import xlnet_config_from_hf
+            cfg = xlnet_config_from_hf(hf_cfg)
+        else:
+            cfg = config_from_hf(hf_cfg)
     elif fallback_config is not None:
         cfg = fallback_config
     else:
@@ -121,6 +136,38 @@ def load_encoder_checkpoint(
             f"{src!r} carries no config.json; pass fallback_config")
     cfg = dataclasses.replace(cfg, dtype=dtype)
 
-    params = (convert_hf_albert_params(state_dict) if is_albert
-              else convert_hf_encoder_params(state_dict))
+    if is_gpt:
+        from qagnn_tpu.models.gpt_encoder import convert_hf_gpt_params
+        params = convert_hf_gpt_params(state_dict)
+        cfg, params = _resize_gpt_vocab(cfg, params)
+    elif is_xlnet:
+        from qagnn_tpu.models.xlnet_encoder import convert_hf_xlnet_params
+        params = convert_hf_xlnet_params(state_dict)
+    elif is_albert:
+        params = convert_hf_albert_params(state_dict)
+    else:
+        params = convert_hf_encoder_params(state_dict)
+    return cfg, params
+
+
+def _resize_gpt_vocab(cfg, params, n_special: int = 3):
+    """Grow the GPT token table for the 3 statement special tokens
+    (_start_/_delimiter_/_classify_), matching the reference's
+    resize_token_embeddings(get_gpt_token_num)
+    (reference modeling/modeling_encoder.py:105-106,
+    utils/data_utils.py:284-287). New rows are normal(0, 0.02) like HF's
+    resize init, seeded deterministically."""
+    import numpy as np
+
+    table = np.asarray(params["tokens_embed"]["embedding"])
+    if table.shape[0] != 40478:   # stock openai-gpt BPE vocab, pre-resize
+        return cfg, params        # already resized (or a tiny test model)
+    target = table.shape[0] + n_special
+    if cfg.vocab_size < target:
+        rng = np.random.default_rng(0)
+        extra = rng.normal(0.0, 0.02,
+                           (target - table.shape[0], table.shape[1]))
+        params["tokens_embed"]["embedding"] = jnp.asarray(
+            np.concatenate([table, extra.astype(table.dtype)], axis=0))
+        cfg = dataclasses.replace(cfg, vocab_size=target)
     return cfg, params

@@ -199,3 +199,30 @@ def test_cli_train_end_to_end(tmp_path, monkeypatch):
     assert log[0] == "step,dev_acc,test_acc"
     assert len(log) == 3  # header + 2 epochs
     assert (tmp_path / "out" / "config.json").exists()
+
+
+@pytest.mark.parametrize("encoder", ["tiny-gpt", "tiny-xlnet"])
+def test_cli_train_gpt_xlnet_encoders(tmp_path, monkeypatch, encoder):
+    """Driver smoke with the GPT and XLNet encoder families: their statement
+    tensorization produces family-specific lm_inputs (cls_token_ids gather /
+    left-pad CLS-at-end) that flow through the same jitted train loop."""
+    root = str(tmp_path / "data")
+    emb_path = _write_dataset(root)
+    tok = _tokenizer(tmp_path)
+
+    import qagnn_tpu.cli as cli
+    orig = cli.build_model_and_data
+    monkeypatch.setattr(cli, "build_model_and_data",
+                        lambda cfg, tokenizer=None: orig(cfg, tokenizer=tok))
+
+    cfg = _fix_paths(TrainConfig(
+        dataset="csqa", encoder=encoder, inhouse=False,
+        save_dir=str(tmp_path / "out"), save_model=False,
+        n_epochs=1, batch_size=2, mini_batch_size=1, eval_batch_size=2,
+        max_seq_len=16, max_node_num=8, num_relation=10,
+        k=1, gnn_dim=8, fc_dim=8, att_head_num=2,
+        unfreeze_epoch=0, log_interval=1000,
+    ).resolved(), root, emb_path)
+
+    result = cli.train(cfg)
+    assert 0.0 <= result["best_dev_acc"] <= 1.0
