@@ -29,6 +29,10 @@ def build_model_and_data(cfg: TrainConfig, tokenizer=None):
     from qagnn_tpu.data.loader import QAGNNDataLoader
     from qagnn_tpu.models.qagnn import LMQAGNN
 
+    if tokenizer is None and cfg.lstm_vocab and "lstm" in cfg.encoder:
+        from qagnn_tpu.data.word_tokenizer import WordTokenizer
+        tokenizer = WordTokenizer(cfg.lstm_vocab)
+
     dataset = QAGNNDataLoader(
         train_statements=cfg.train_statements, train_adj=cfg.train_adj,
         dev_statements=cfg.dev_statements, dev_adj=cfg.dev_adj,
@@ -88,6 +92,7 @@ def make_encoder(enc_cfg):
     reference's MODEL_NAME_TO_CLASS dispatch
     (reference modeling/modeling_encoder.py:16-32,89-108)."""
     from qagnn_tpu.models.gpt_encoder import GPTConfig, GPTTextEncoder
+    from qagnn_tpu.models.lstm_encoder import LSTMConfig, LSTMTextEncoder
     from qagnn_tpu.models.text_encoder import TextEncoder
     from qagnn_tpu.models.xlnet_encoder import XLNetConfig, XLNetTextEncoder
 
@@ -95,6 +100,8 @@ def make_encoder(enc_cfg):
         return GPTTextEncoder(enc_cfg)
     if isinstance(enc_cfg, XLNetConfig):
         return XLNetTextEncoder(enc_cfg)
+    if isinstance(enc_cfg, LSTMConfig):
+        return LSTMTextEncoder.from_config(enc_cfg)
     return TextEncoder(enc_cfg)
 
 
@@ -107,6 +114,21 @@ def encoder_config_for(cfg: TrainConfig):
 
     dtype = jnp.bfloat16 if cfg.encoder_dtype == "bfloat16" else jnp.float32
     name = cfg.encoder
+    if name == "lstm":
+        from qagnn_tpu.data.word_tokenizer import WordTokenizer
+        from qagnn_tpu.models.lstm_encoder import LSTMConfig
+        if not cfg.lstm_vocab:
+            raise ValueError("--encoder lstm requires --lstm_vocab "
+                             "(build with word_tokenizer.make_word_vocab)")
+        vocab_size = WordTokenizer(cfg.lstm_vocab).vocab_size
+        return LSTMConfig(vocab_size=vocab_size)
+    if name == "tiny-lstm":
+        from qagnn_tpu.models.lstm_encoder import LSTMConfig
+        vocab_size = 256
+        if cfg.lstm_vocab:
+            from qagnn_tpu.data.word_tokenizer import WordTokenizer
+            vocab_size = WordTokenizer(cfg.lstm_vocab).vocab_size
+        return LSTMConfig.tiny(vocab_size=vocab_size)
     if name == "tiny-gpt":
         return GPTConfig.tiny(dtype=dtype)
     if name == "tiny-xlnet":

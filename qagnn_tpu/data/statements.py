@@ -117,6 +117,38 @@ def _truncate_seq_pair(tokens_a: list, tokens_b: list, max_length: int):
             tokens_b.pop()
 
 
+def load_lstm_statements(path: str, max_seq_len: int,
+                         tokenizer) -> StatementData:
+    """LSTM tensorization: ids = q <SEP> choice (longest-first truncation),
+    PAD-filled, plus real lengths — the (inputs, lengths) contract of
+    LSTMTextEncoder (reference modeling/modeling_encoder.py:63-67; the
+    reference's own loader is unimplemented, utils/data_utils.py:478-480).
+    `tokenizer` is a qagnn_tpu.data.word_tokenizer.WordTokenizer."""
+    examples = read_statement_jsonl(path)
+    n = len(examples)
+    n_choices = max(len(e[3]) for e in examples)
+    input_ids = np.full((n, n_choices, max_seq_len),
+                        tokenizer.pad_token_id, np.int32)
+    lengths = np.ones((n, n_choices), np.int32)
+
+    for i, (_, _, context, endings) in enumerate(examples):
+        q = tokenizer.encode(context)
+        for j in range(n_choices):
+            ending = endings[min(j, len(endings) - 1)]
+            a = list(q)
+            b = tokenizer.encode(ending)
+            _truncate_seq_pair(a, b, max_seq_len - 1)
+            ids = a + [tokenizer.sep_token_id] + b
+            input_ids[i, j, :len(ids)] = ids
+            lengths[i, j] = max(len(ids), 1)
+
+    return StatementData(
+        qids=[e[0] for e in examples],
+        labels=np.asarray([e[1] for e in examples], np.int64),
+        inputs={"input_ids": input_ids, "lengths": lengths},
+        n_choices=n_choices)
+
+
 def model_type_for(model_name: str) -> str:
     """Family classification (reference modeling/modeling_encoder.py:16-32
     MODEL_NAME_TO_CLASS, keyed here by name substring; SapBERT is bert)."""
@@ -213,6 +245,14 @@ def load_statements(path: str, model_name: str, max_seq_len: int,
     double-SEP, longest-first pair truncation — utils/data_utils.py:330-430).
     """
     mtype = model_type_for(model_name)
+    if mtype == "lstm":
+        if tokenizer is None:
+            raise ValueError(
+                "encoder 'lstm' needs a WordTokenizer; pass tokenizer= or "
+                "set --lstm_vocab to a vocab file "
+                "(build one with qagnn_tpu.data.word_tokenizer."
+                "make_word_vocab)")
+        return load_lstm_statements(path, max_seq_len, tokenizer)
     if mtype == "gpt":
         return load_gpt_statements(path, max_seq_len, tokenizer)
     if tokenizer is None:

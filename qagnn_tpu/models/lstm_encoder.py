@@ -12,11 +12,40 @@ pack_padded_sequence (padded steps carry state through unchanged).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 Array = jax.Array
+
+
+@dataclass(frozen=True)
+class LSTMConfig:
+    """Driver-facing config (reference run defaults:
+    modeling/modeling_encoder.py:38-41). `hidden_size` names the SENTENCE
+    vector width (= output_size) so the driver's sent_dim plumbing is
+    uniform across encoder families."""
+    vocab_size: int = 1
+    emb_size: int = 300
+    lstm_hidden_size: int = 300
+    hidden_size: int = 300       # output_size == sent_dim
+    num_layers: int = 2
+    bidirectional: bool = True
+    emb_p: float = 0.0
+    input_p: float = 0.0
+    hidden_p: float = 0.0
+    pool_function: str = "max"
+    dtype: object = jnp.float32  # accepted for driver uniformity (unused)
+
+    @classmethod
+    def tiny(cls, **kw):
+        kw.setdefault("vocab_size", 64)
+        kw.setdefault("emb_size", 16)
+        kw.setdefault("lstm_hidden_size", 16)
+        kw.setdefault("hidden_size", 16)
+        return cls(**kw)
 
 
 def masked_max_pool(h: Array, lengths: Array) -> Array:
@@ -48,10 +77,23 @@ class LSTMTextEncoder(nn.Module):
     hidden_p: float = 0.0
     pool_function: str = "max"   # max | mean
 
+    @classmethod
+    def from_config(cls, cfg: LSTMConfig):
+        return cls(vocab_size=cfg.vocab_size, emb_size=cfg.emb_size,
+                   hidden_size=cfg.lstm_hidden_size,
+                   output_size=cfg.hidden_size, num_layers=cfg.num_layers,
+                   bidirectional=cfg.bidirectional, emb_p=cfg.emb_p,
+                   input_p=cfg.input_p, hidden_p=cfg.hidden_p,
+                   pool_function=cfg.pool_function)
+
     @nn.compact
     def __call__(self, input_ids: Array, lengths: Array, *,
-                 train: bool = False):
-        """input_ids: (B, L) int32; lengths: (B,) int32.
+                 layer_id: int = -1, train: bool = False,
+                 return_all_hidden: bool = False):
+        """input_ids: (B, L) int32; lengths: (B,) int32. `layer_id` is
+        accepted for driver uniformity and ignored — the reference's
+        layer_id only works for non-LSTM encoders
+        (reference modeling/modeling_encoder.py:110-113).
 
         Returns (pooled (B, output_size), tuple of num_layers+1 hidden
         states) — the reference's output contract

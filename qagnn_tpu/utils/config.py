@@ -88,6 +88,10 @@ class TrainConfig:
     encoder_layer: int = -1
     encoder_lr: float | None = None      # resolved per dataset+encoder
     encoder_dtype: str = "float32"       # float32 | bfloat16 (replaces fp16)
+    # word-vocab file for --encoder lstm (reference WordTokenizer vocab,
+    # utils/tokenization_utils.py:15-67; build with
+    # qagnn_tpu.data.word_tokenizer.make_word_vocab)
+    lstm_vocab: str | None = None
 
     # gnn / decoder architecture (reference qagnn.py:58-69)
     k: int = 5

@@ -226,3 +226,31 @@ def test_cli_train_gpt_xlnet_encoders(tmp_path, monkeypatch, encoder):
 
     result = cli.train(cfg)
     assert 0.0 <= result["best_dev_acc"] <= 1.0
+
+
+def test_cli_train_lstm_encoder(tmp_path):
+    """Driver e2e with --encoder lstm: word-vocab build -> WordTokenizer ->
+    (input_ids, lengths) tensorization -> LSTMTextEncoder, no monkeypatching
+    (the driver constructs the tokenizer from --lstm_vocab itself). The
+    reference never finished this path (utils/data_utils.py:478-480)."""
+    from qagnn_tpu.data.word_tokenizer import make_word_vocab
+
+    root = str(tmp_path / "data")
+    emb_path = _write_dataset(root)
+    vocab_path = str(tmp_path / "vocab.json")
+    make_word_vocab([f"{root}/statement/train.statement.jsonl"],
+                    vocab_path, freq_cutoff=1)
+
+    import qagnn_tpu.cli as cli
+    cfg = _fix_paths(TrainConfig(
+        dataset="csqa", encoder="tiny-lstm", lstm_vocab=vocab_path,
+        inhouse=False,
+        save_dir=str(tmp_path / "out"), save_model=False,
+        n_epochs=1, batch_size=2, mini_batch_size=1, eval_batch_size=2,
+        max_seq_len=16, max_node_num=8, num_relation=10,
+        k=1, gnn_dim=8, fc_dim=8, att_head_num=2,
+        unfreeze_epoch=0, log_interval=1000,
+    ).resolved(), root, emb_path)
+
+    result = cli.train(cfg)
+    assert 0.0 <= result["best_dev_acc"] <= 1.0
