@@ -227,6 +227,43 @@ def train(cfg: TrainConfig) -> dict:
         print(f"resumed from {cfg.load_model_path} at step "
               f"{int(state.step)}", flush=True)
 
+    # ---- parameter inventory (reference qagnn.py:199-206) ----------------
+    def _count(tree):
+        return sum(x.size for x in jax.tree.leaves(tree))
+    enc_params = _count(state.params.get("encoder", {}))
+    dec_params = _count(state.params.get("decoder", {}))
+    print(f"| encoder params {enc_params:,} | decoder params {dec_params:,} "
+          f"| total {_count(state.params):,} |", flush=True)
+
+    # ---- device mesh (replaces the reference's 2-GPU split,
+    # reference qagnn.py:132-140) -------------------------------------------
+    mesh = None
+    n_model = max(1, cfg.mesh_model)
+    n_data = cfg.mesh_data or max(1, jax.device_count() // n_model)
+    if n_data * n_model > 1:
+        from qagnn_tpu.parallel.mesh import (
+            make_mesh, param_shardings, replicated, shard_batch)
+        mesh = make_mesh(n_data, n_model)
+        assert cfg.batch_size % n_data == 0, (
+            f"batch_size {cfg.batch_size} must divide over {n_data} "
+            "data-parallel devices")
+        assert cfg.eval_batch_size % n_data == 0, (
+            f"eval_batch_size {cfg.eval_batch_size} must divide over "
+            f"{n_data} data-parallel devices")
+        rep = replicated(mesh)
+        state = state.replace(
+            params=jax.device_put(state.params,
+                                  param_shardings(state.params, mesh)),
+            batch_stats=jax.device_put(state.batch_stats, rep),
+            opt_state=jax.device_put(state.opt_state, rep),
+            step=jax.device_put(state.step, rep),
+            rng=jax.device_put(state.rng, rep))
+        print(f"| mesh data={n_data} model={n_model} "
+              f"({jax.device_count()} devices) |", flush=True)
+        _place = lambda b: shard_batch(b, mesh)
+    else:
+        _place = lambda b: b
+
     num_mb = max(1, cfg.batch_size // cfg.mini_batch_size) \
         if cfg.mini_batch_size > 0 else 1
     train_step = make_train_step(model, optimizer, loss_name=cfg.loss,
@@ -234,10 +271,16 @@ def train(cfg: TrainConfig) -> dict:
                                  encoder_layer_id=cfg.encoder_layer)
     eval_step = make_eval_step(model, encoder_layer_id=cfg.encoder_layer)
 
+    # edges aggregated per train step (edge budget x graphs x GNN layers) —
+    # the BASELINE.json throughput unit, printed per log interval
+    edges_per_step = (int(sample.graph.edge_src.shape[0])
+                      * int(sample.graph.edge_src.shape[1]) * cfg.k)
+
     def evaluate(split_iter):
         correct, total = 0, 0
         preds = []
         for qids, batch, pad in split_iter:
+            batch = _place(batch)
             logits = np.asarray(eval_step(state.params, state.batch_stats,
                                           batch.lm_inputs, batch.graph))
             n = logits.shape[0] - pad
@@ -249,20 +292,34 @@ def train(cfg: TrainConfig) -> dict:
 
     best_dev_acc, final_test_acc, best_dev_epoch = 0.0, 0.0, 0
     global_step, total_loss = 0, 0.0
+    loss_history: list[float] = []
     start = time.time()
 
+    profiling = False
     for epoch in range(cfg.n_epochs):
         encoder_trainable = (epoch >= cfg.unfreeze_epoch
                              and epoch < cfg.refreeze_epoch)
         for qids, batch in dataset.train():
-            state, metrics = train_step(state, batch,
+            if cfg.profile_dir and global_step == cfg.profile_start_step:
+                jax.profiler.start_trace(cfg.profile_dir)
+                profiling = True
+            state, metrics = train_step(state, _place(batch),
                                         jnp.asarray(encoder_trainable))
             total_loss += float(metrics["loss"])
+            loss_history.append(float(metrics["loss"]))
+            if profiling and global_step >= (cfg.profile_start_step
+                                             + cfg.profile_num_steps - 1):
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                profiling = False
+                print(f"| profiler trace written to {cfg.profile_dir} |",
+                      flush=True)
             if (global_step + 1) % cfg.log_interval == 0:
-                ms = 1000 * (time.time() - start) / cfg.log_interval
+                dt = (time.time() - start) / cfg.log_interval
                 print(f"| step {global_step:5} | loss "
                       f"{total_loss / cfg.log_interval:7.4f} | ms/batch "
-                      f"{ms:7.2f} |", flush=True)
+                      f"{1000 * dt:7.2f} | edges/s "
+                      f"{edges_per_step / dt:10.3g} |", flush=True)
                 total_loss, start = 0.0, time.time()
             global_step += 1
 
@@ -295,7 +352,7 @@ def train(cfg: TrainConfig) -> dict:
     print(f"| best dev_acc {best_dev_acc:.4f} (epoch {best_dev_epoch}) | "
           f"final test_acc {final_test_acc:.4f} |")
     return {"best_dev_acc": best_dev_acc, "final_test_acc": final_test_acc,
-            "best_dev_epoch": best_dev_epoch}
+            "best_dev_epoch": best_dev_epoch, "train_losses": loss_history}
 
 
 def eval_detail(cfg: TrainConfig) -> dict:

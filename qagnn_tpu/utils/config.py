@@ -93,6 +93,17 @@ class TrainConfig:
     # qagnn_tpu.data.word_tokenizer.make_word_vocab)
     lstm_vocab: str | None = None
 
+    # device mesh (replaces the reference's serial 2-GPU split,
+    # reference qagnn.py:132-140): batch sharded over `data`, entity table
+    # row-sharded over `model` when mesh_model > 1
+    mesh_data: int = 0                   # data-axis size; 0 = all devices
+    mesh_model: int = 1                  # model-axis size
+
+    # observability (SURVEY §5): jax.profiler trace of a few train steps
+    profile_dir: str | None = None
+    profile_start_step: int = 10
+    profile_num_steps: int = 5
+
     # gnn / decoder architecture (reference qagnn.py:58-69)
     k: int = 5
     att_head_num: int = 2                # pooler heads; GATConvE is 4 (hard)

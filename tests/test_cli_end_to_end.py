@@ -254,3 +254,43 @@ def test_cli_train_lstm_encoder(tmp_path):
 
     result = cli.train(cfg)
     assert 0.0 <= result["best_dev_acc"] <= 1.0
+
+
+def test_cli_train_mesh_loss_parity(tmp_path, monkeypatch):
+    """The driver trains IDENTICALLY on 1 device and on an 8-device
+    (data=4, model=2) mesh: same per-step losses (up to cross-device
+    reduction reassociation) and same dev accuracy. This exercises the
+    driver's own mesh path — make_mesh/shard_batch/param_shardings inside
+    cli.train — not a bespoke test harness."""
+    import dataclasses
+
+    root = str(tmp_path / "data")
+    emb_path = _write_dataset(root)
+    tok = _tokenizer(tmp_path)
+
+    import qagnn_tpu.cli as cli
+    orig = cli.build_model_and_data
+    monkeypatch.setattr(cli, "build_model_and_data",
+                        lambda cfg, tokenizer=None: orig(cfg, tokenizer=tok))
+
+    base = _fix_paths(TrainConfig(
+        dataset="csqa", encoder="tiny", inhouse=False,
+        save_dir=str(tmp_path / "out1"), save_model=False,
+        n_epochs=2, batch_size=4, mini_batch_size=2, eval_batch_size=4,
+        max_seq_len=16, max_node_num=8, num_relation=10,
+        k=1, gnn_dim=8, fc_dim=8, att_head_num=2,
+        unfreeze_epoch=0, log_interval=1000,
+        mesh_data=1, mesh_model=1,
+    ).resolved(), root, emb_path)
+
+    r1 = cli.train(base)
+
+    cfg8 = dataclasses.replace(base, mesh_data=4, mesh_model=2,
+                               save_dir=str(tmp_path / "out8"))
+    r8 = cli.train(cfg8)
+
+    assert r1["train_losses"] and len(r1["train_losses"]) == \
+        len(r8["train_losses"])
+    np.testing.assert_allclose(r1["train_losses"], r8["train_losses"],
+                               rtol=2e-4, atol=2e-5)
+    assert r1["best_dev_acc"] == r8["best_dev_acc"]
