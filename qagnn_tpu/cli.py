@@ -239,17 +239,23 @@ def train(cfg: TrainConfig) -> dict:
     # reference qagnn.py:132-140) -------------------------------------------
     mesh = None
     n_model = max(1, cfg.mesh_model)
-    n_data = cfg.mesh_data or max(1, jax.device_count() // n_model)
-    if n_data * n_model > 1:
-        from qagnn_tpu.parallel.mesh import (
-            make_mesh, param_shardings, replicated, shard_batch)
-        mesh = make_mesh(n_data, n_model)
+    if cfg.mesh_data:
+        n_data = cfg.mesh_data
         assert cfg.batch_size % n_data == 0, (
             f"batch_size {cfg.batch_size} must divide over {n_data} "
             "data-parallel devices")
         assert cfg.eval_batch_size % n_data == 0, (
             f"eval_batch_size {cfg.eval_batch_size} must divide over "
             f"{n_data} data-parallel devices")
+    else:
+        # auto: as many data-parallel devices as both batch sizes divide over
+        n_data = max(1, jax.device_count() // n_model)
+        while cfg.batch_size % n_data or cfg.eval_batch_size % n_data:
+            n_data -= 1
+    if n_data * n_model > 1:
+        from qagnn_tpu.parallel.mesh import (
+            make_mesh, param_shardings, replicated, shard_batch)
+        mesh = make_mesh(n_data, n_model)
         rep = replicated(mesh)
         state = state.replace(
             params=jax.device_put(state.params,
