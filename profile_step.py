@@ -1,0 +1,56 @@
+"""Capture a profiler trace of the bench train step on the TPU."""
+import time
+import numpy as np
+import jax, jax.numpy as jnp
+import jax.tree_util as jtu
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/qagnn_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from qagnn_tpu.models.gnn import QAGNNMessagePassing
+
+G, N, E, D, K = 64, 200, 4096, 200, 5
+rng = np.random.default_rng(0)
+H = jnp.asarray(rng.standard_normal((G, N, D)), jnp.float32)
+node_type = jnp.asarray(rng.integers(0, 4, (G, N)), jnp.int32)
+node_score = jnp.asarray(rng.standard_normal((G, N)), jnp.float32)
+edge_src = jnp.asarray(rng.integers(0, N, (G, E)), jnp.int32)
+edge_dst = jnp.asarray(rng.integers(0, N, (G, E)), jnp.int32)
+edge_type = jnp.asarray(rng.integers(0, 38, (G, E)), jnp.int32)
+edge_mask = jnp.ones((G, E), bool)
+
+model = QAGNNMessagePassing(k=K, n_ntype=4, n_etype=38, hidden_size=D,
+                            dropout=0.2, backend="onehot",
+                            dtype=jnp.bfloat16)
+variables = model.init(jax.random.PRNGKey(0), H, node_type, node_score,
+                       edge_src, edge_dst, edge_type, edge_mask, train=False)
+key = jax.random.PRNGKey(1)
+
+def loss_fn(params, H, batch_stats, dkey):
+    out, upd = model.apply(
+        {"params": params, "batch_stats": batch_stats}, H, node_type,
+        node_score, edge_src, edge_dst, edge_type, edge_mask, train=True,
+        rngs={"dropout": dkey}, mutable=["batch_stats"])
+    return jnp.sum(out * out), upd["batch_stats"]
+
+grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
+
+@jax.jit
+def step(params, H, batch_stats, i):
+    (loss, batch_stats), (gp, gH) = grad_fn(params, H, batch_stats,
+                                            jax.random.fold_in(key, i))
+    params = jtu.tree_map(lambda p, g: p - 1e-5 * g.astype(p.dtype),
+                          params, gp)
+    H = H + 1e-4 * gH
+    return params, H, batch_stats, loss
+
+p, x, bs = variables["params"], H, variables["batch_stats"]
+p, x, bs, loss = step(p, x, bs, 0)
+print("warm", float(loss), flush=True)
+
+jax.profiler.start_trace("/tmp/qagnn_prof", create_perfetto_trace=True)
+for i in range(1, 4):
+    p, x, bs, loss = step(p, x, bs, i)
+print("traced", float(loss), flush=True)
+jax.profiler.stop_trace()
+print("done", flush=True)

@@ -66,7 +66,9 @@ class MLP(nn.Module):
             if i < self.num_layers:
                 x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
                 if self.layer_norm:
-                    x = nn.LayerNorm(name=f"layernorm_{i}")(x)
+                    # torch nn.LayerNorm default eps (flax defaults to 1e-6)
+                    x = nn.LayerNorm(epsilon=1e-5, use_fast_variance=False,
+                                     name=f"layernorm_{i}")(x)
                 if self.batch_norm:
                     raise NotImplementedError(
                         "batch_norm MLP is unused on the QA-GNN path; "

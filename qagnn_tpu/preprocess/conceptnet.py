@@ -164,9 +164,8 @@ def construct_graph(cpnet_csv_path: str, cpnet_vocab_path: str,
 
 def glove_init(glove_txt_path: str, output_npy_path: str,
                vocab_path: str) -> None:
-    """Entity-embedding table from a GloVe-format text file
-    (reference :216-260 head; the random-init tail for OOV entities is the
-    caller's concern in the reference and is omitted here)."""
+    """GloVe text table -> .npy + vocab (reference utils/conceptnet.py:
+    216-246 head of glove_init)."""
     words, vectors = [], []
     with open(glove_txt_path, "rb") as f:
         for line in f:
@@ -179,3 +178,100 @@ def glove_init(glove_txt_path: str, output_npy_path: str,
     np.save(output_npy_path, np.asarray(vectors, dtype=np.float32))
     with open(vocab_path, "w", encoding="utf-8") as f:
         f.write("\n".join(words))
+
+
+def create_embeddings_glove(triple_corpus_path: str, glove_npy_path: str,
+                            glove_vocab_path: str, output_dir: str,
+                            output_prefix: str, pooling: str = "max",
+                            dim: int = 100):
+    """Concept/relation embeddings pooled from a triple-string corpus —
+    the tail of the reference's glove_init (utils/conceptnet.py:262-384
+    create_embeddings_glove), exact math:
+
+      * OOV words embed as zeros
+      * concepts: running max-pool ("max") or overwrite-with-avg ("avg")
+        of their word vectors per mention
+      * relations: weighted running average of per-mention encodings;
+        "max" pools the non-subject/object context words per mention;
+        "avg" uses obj-avg minus subj-avg (or full-string residual for the
+        symmetric relations relatedto/antonym)
+
+    Writes concept.{prefix}.{pooling}.npy / relation.{prefix}.{pooling}.npy
+    plus tab-separated count vocab files, in corpus first-seen order.
+    Returns (concept_emb dict, rel_emb dict).
+    """
+    import json as _json
+
+    vectors = np.load(glove_npy_path)
+    with open(glove_vocab_path, encoding="utf-8") as f:
+        vocab = [l.strip() for l in f]
+    glove = {w: vectors[i] for i, w in enumerate(vocab)}
+    zero = np.zeros((dim,))
+
+    with open(triple_corpus_path, encoding="utf-8") as f:
+        triples = _json.load(f)
+
+    c_emb: dict[str, np.ndarray] = {}
+    c_cnt: dict[str, int] = {}
+    r_emb: dict[str, np.ndarray] = {}
+    r_cnt: dict[str, int] = {}
+
+    for data in triples:
+        words = data["string"].strip().split(" ")
+        rel = data["rel"]
+        ss, se = data["subj_start"], data["subj_end"]
+        os_, oe = data["obj_start"], data["obj_end"]
+        subj_words, obj_words = words[ss:se], words[os_:oe]
+        subj, obj = " ".join(subj_words), " ".join(obj_words)
+
+        for k, d, c in ((subj, c_emb, c_cnt), (obj, c_emb, c_cnt),
+                        (rel, r_emb, r_cnt)):
+            if k not in d:
+                d[k] = np.zeros((dim,))
+                c[k] = 0
+            c[k] += 1
+
+        if pooling == "avg":
+            # NOTE: the reference iterates CHARACTERS of the joined string
+            # here (`for word in subj` where subj is a str) — reproduced
+            # bug-for-bug since the output is a data contract
+            subj_sum = sum((glove.get(w, zero) for w in subj), zero)
+            obj_sum = sum((glove.get(w, zero) for w in obj), zero)
+            if rel in ("relatedto", "antonym"):   # symmetric relation
+                rel_sum = sum((glove.get(w, zero) for w in words),
+                              zero) - subj_sum - obj_sum
+            else:
+                rel_sum = obj_sum - subj_sum
+            subj_len, obj_len = se - ss, oe - os_
+            c_emb[subj] = subj_sum / subj_len
+            c_emb[obj] = obj_sum / obj_len
+            rel_enc = rel_sum / (len(words) - subj_len - obj_len)
+            n = r_cnt[rel]
+            r_emb[rel] = ((n - 1) / n) * r_emb[rel] + rel_enc / n
+        elif pooling == "max":
+            subj_enc = np.amax([glove.get(w, zero) for w in subj_words],
+                               axis=0)
+            obj_enc = np.amax([glove.get(w, zero) for w in obj_words],
+                              axis=0)
+            ctx = [glove.get(words[j], zero) for j in range(len(words))
+                   if not (ss <= j < se or os_ <= j < oe)]
+            rel_enc = np.amax(ctx, axis=0)
+            c_emb[subj] = np.maximum(c_emb[subj], subj_enc)
+            c_emb[obj] = np.maximum(c_emb[obj], obj_enc)
+            n = r_cnt[rel]
+            r_emb[rel] = ((n - 1) / n) * r_emb[rel] + rel_enc / n
+        else:
+            raise ValueError(f"unknown pooling {pooling!r}")
+
+    def write(emb, cnt, npy_path, vocab_path):
+        np.save(npy_path, np.array(list(emb.values()), dtype="float32"))
+        with open(vocab_path, "w", encoding="utf-8") as f:
+            f.write("\n".join(f"{w}\t{cnt[w]}" for w in emb))
+
+    write(c_emb, c_cnt,
+          f"{output_dir}/concept.{output_prefix}.{pooling}.npy",
+          f"{output_dir}/concept.glove.{pooling}.txt")
+    write(r_emb, r_cnt,
+          f"{output_dir}/relation.{output_prefix}.{pooling}.npy",
+          f"{output_dir}/relation.glove.{pooling}.txt")
+    return c_emb, r_emb

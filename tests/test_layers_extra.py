@@ -5,6 +5,7 @@ Includes a port of the reference's own run_test assertions
 DiffTopK straight-through gradient x.grad == r*2."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -99,3 +100,50 @@ def test_triple_encoder_shapes():
     out = enc.apply(params, h, r, t)
     assert out.shape == (5, 12)
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("num_layers,layer_norm", [(0, False), (1, True),
+                                                   (2, False), (2, True)])
+def test_mlp_fc_stack_matches_reference_torch(num_layers, layer_norm):
+    """GOLDEN: MLP layer ordering (Linear -> Dropout -> [LN] -> act) vs the
+    reference's torch MLP (utils/layers.py:47-87), incl. the n_fc_layer=0
+    single-Linear case used by the final scorer
+    (reference modeling/modeling_qagnn.py:122)."""
+    import sys
+
+    import numpy as np
+    import torch
+
+    from qagnn_tpu.models.layers import MLP
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        from utils.layers import MLP as RefMLP
+    finally:
+        sys.path.remove("/root/reference")
+
+    torch.manual_seed(0)
+    ref = RefMLP(input_size=12, hidden_size=9, output_size=5,
+                 num_layers=num_layers, dropout=0.0, layer_norm=layer_norm)
+    ref.eval()
+
+    params = {}
+    sd = ref.state_dict()
+    for i in range(num_layers + 1):
+        params[f"linear_{i}"] = {
+            "kernel": jnp.asarray(sd[f"layers.{i}-Linear.weight"].numpy().T),
+            "bias": jnp.asarray(sd[f"layers.{i}-Linear.bias"].numpy()),
+        }
+        if layer_norm and i < num_layers:
+            params[f"layernorm_{i}"] = {
+                "scale": jnp.asarray(sd[f"layers.{i}-LayerNorm.weight"].numpy()),
+                "bias": jnp.asarray(sd[f"layers.{i}-LayerNorm.bias"].numpy()),
+            }
+
+    mine = MLP(input_size=12, hidden_size=9, output_size=5,
+               num_layers=num_layers, dropout=0.0, layer_norm=layer_norm)
+    x = np.random.default_rng(0).standard_normal((7, 12)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.tensor(x)).numpy()
+    got = mine.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-6)

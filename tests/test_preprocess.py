@@ -168,3 +168,66 @@ def test_full_vertical_into_data_loader(pipeline, tmp_path):
     c2i = kg.concept2id
     row_b = data.concept_ids[1]
     assert (c2i["lantern"] + 1) in row_b.tolist()
+
+
+def test_create_embeddings_glove_matches_reference(tmp_path):
+    """GOLDEN: triple-corpus pooled concept/relation embeddings vs the
+    reference's own glove_init tail (utils/conceptnet.py:216-384), file
+    for file, for both poolings."""
+    import json
+    import sys
+
+    import numpy as np
+
+    from qagnn_tpu.preprocess.conceptnet import (
+        create_embeddings_glove, glove_init)
+
+    # tiny GloVe table (dim 4) with an OOV word ("zebra") in the corpus
+    words = ["the", "cat", "big", "dog", "chases", "is", "a"]
+    rng = np.random.default_rng(0)
+    table = rng.standard_normal((len(words), 4)).round(3)
+    glove_txt = tmp_path / "glove.txt"
+    with open(glove_txt, "w") as f:
+        for w, v in zip(words, table):
+            f.write(w + " " + " ".join(str(x) for x in v) + "\n")
+
+    corpus = [
+        {"string": "the big cat chases a dog", "rel": "atlocation",
+         "subj_start": 1, "subj_end": 3, "obj_start": 5, "obj_end": 6},
+        {"string": "a dog is a zebra friend", "rel": "relatedto",
+         "subj_start": 1, "subj_end": 2, "obj_start": 4, "obj_end": 6},
+        {"string": "the big cat is big", "rel": "atlocation",
+         "subj_start": 1, "subj_end": 3, "obj_start": 4, "obj_end": 5},
+    ]
+    corpus_path = tmp_path / "tp_str_corpus.json"
+    corpus_path.write_text(json.dumps(corpus))
+
+    # --- reference side (np.float alias removed in modern numpy) ---------
+    ref_dir = tmp_path / "ref"
+    ref_dir.mkdir()
+    if not hasattr(np, "float"):
+        np.float = float  # the reference uses the removed alias
+    sys.path.insert(0, "/root/reference")
+    try:
+        from utils.conceptnet import glove_init as ref_glove_init
+        ref_glove_init(str(glove_txt), str(ref_dir / "emb"),
+                       str(corpus_path))
+    finally:
+        sys.path.remove("/root/reference")
+
+    # --- my side ----------------------------------------------------------
+    my_dir = tmp_path / "mine"
+    my_dir.mkdir()
+    glove_init(str(glove_txt), str(my_dir / "emb.npy"),
+               str(my_dir / "emb.vocab.txt"))
+    create_embeddings_glove(str(corpus_path), str(my_dir / "emb.npy"),
+                            str(my_dir / "emb.vocab.txt"),
+                            str(my_dir), "emb", pooling="max", dim=4)
+
+    for name in ["concept.emb.max.npy", "relation.emb.max.npy"]:
+        np.testing.assert_allclose(
+            np.load(my_dir / name), np.load(ref_dir / name),
+            atol=1e-6, err_msg=name)
+    for name in ["concept.glove.max.txt", "relation.glove.max.txt"]:
+        assert (my_dir / name).read_text().strip() == \
+            (ref_dir / name).read_text().strip(), name
