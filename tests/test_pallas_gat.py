@@ -69,3 +69,28 @@ def test_fused_kernel_gradients(inputs):
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-5)
+
+
+def test_fused_kernel_gradients_all_edges_masked(inputs):
+    """With every edge padded, edge-bias grads must be 0 and the self-loop
+    grads must match the scatter oracle (denominator = e_self only)."""
+    nq, nk, nm, ekb, emb, skb, smb, src, dst, _ = inputs
+    mask = jnp.zeros((G, E), jnp.float32)
+
+    def loss_fused(args):
+        return jnp.sum(pallas_relational_gat(*args, src, dst, mask,
+                                             HEADS, True) ** 2)
+
+    def loss_xla(args):
+        return jnp.sum(_xla(args + (src, dst, mask), "scatter") ** 2)
+
+    diff_args = (nq, nk, nm, ekb, emb, skb, smb)
+    g1 = jax.grad(loss_fused)(diff_args)
+    g2 = jax.grad(loss_xla)(diff_args)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        assert np.isfinite(np.asarray(a)).all()
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
+    # edge-bias cotangents are exactly zero for padded edges
+    np.testing.assert_array_equal(np.asarray(g1[3]), 0.0)
+    np.testing.assert_array_equal(np.asarray(g1[4]), 0.0)
