@@ -1,26 +1,48 @@
 """Benchmark: edges/s/chip for the 5-layer QA-GNN message-passing TRAIN step
-(fwd + bwd over params and inputs + SGD update, train=True: BatchNorm batch
-statistics and dropout active).
+(fwd + bwd over params and inputs + optimizer update, train=True: BatchNorm
+batch statistics and dropout active).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
 The reference publishes no throughput numbers (its only perf instrumentation
 is an ms/batch print, reference qagnn.py:282), so vs_baseline is reported
 against a fixed nominal target of 1e8 edges/s/chip — an estimate of the
 reference's CUDA PyG pipeline on a contemporary GPU for this model shape
-(6k-edge subgraphs, dim 200, 4 heads, 5 layers).
+(6k-edge subgraphs, dim 200, 4 heads, 5 layers). See README "Roofline" for
+the measured speed-of-light analysis of this formulation on v5e.
 
 Shapes mirror the CSQA paper config: 200-node subgraphs, 4096-edge budget,
 dim 200, k=5, batch of 64 graphs (~13 questions x 5 choices).
+
+Modes:
+  --mode gnn     (default) bespoke SGD step over QAGNNMessagePassing only —
+                 isolates the GNN hot path the BASELINE metric targets.
+  --mode driver  the REAL driver train step: LMQAGNN (tiny LM encoder so the
+                 GNN dominates) through qagnn_tpu.train.make_train_step with
+                 the radam optimizer — proves the driver reaches the bench
+                 number, not just a bespoke loss.
+
+Sharded throughput (SURVEY §2.4; replaces reference qagnn.py:132-140):
+  --mesh D[,M]   run the step under a (data=D, model=M) jax.sharding.Mesh
+                 with the graph batch sharded on `data`. On the single real
+                 TPU only D=1 fits; on CPU set JAX_PLATFORMS=cpu
+                 XLA_FLAGS=--xla_force_host_platform_device_count=8 for a
+                 virtual mesh (overhead ratio only, not real ICI).
+  --scaling      run mesh (1,1) then (D,M) and report scaling efficiency
+                 value(D)/ (D * value(1)) in the JSON extras (BASELINE's
+                 >=80% 1->2-host target finally has a measuring stick).
 
 Timing methodology (important on remote-tunneled runtimes): the step is
 CHAINED — iteration i+1 consumes iteration i's updated params/inputs — and
 the timed region ends with a host readback, so asynchronous dispatch,
 result caching, or optimistic futures cannot shave real execution time.
 Per-step time is the SLOPE between a short and a long run, cancelling
-fixed dispatch/transfer overhead.
+fixed dispatch/transfer overhead. Cold-compile seconds are reported in the
+JSON extras ("compile_s").
 
-Usage: python bench.py [--backend onehot|scatter|pallas] [--iters N] [--small]
+Usage: python bench.py [--backend onehot|scatter|pallas] [--iters N]
+                       [--small] [--mode gnn|driver] [--mesh D[,M]]
+                       [--scaling] [--eval]
 """
 
 import argparse
@@ -28,7 +50,7 @@ import json
 import time
 
 
-def main():
+def parse_args():
     ap = argparse.ArgumentParser()
     ap.add_argument("--backend", default=None,
                     help="sparse backend (default: auto per platform)")
@@ -41,22 +63,72 @@ def main():
                     help="tiny shapes for a quick smoke run")
     ap.add_argument("--eval", action="store_true",
                     help="bench train=False (no BN update / dropout)")
-    args = ap.parse_args()
+    ap.add_argument("--mode", default="gnn", choices=["gnn", "driver"])
+    ap.add_argument("--mesh", default=None,
+                    help="D[,M]: run under a (data=D, model=M) device mesh")
+    ap.add_argument("--scaling", action="store_true",
+                    help="also run mesh (1,1) and report scaling efficiency")
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                    help="force a jax platform (this image's sitecustomize "
+                    "pre-imports jax, so JAX_PLATFORMS in the env is "
+                    "unreliable; jax.config.update works until a backend "
+                    "is touched). Combine --platform cpu with "
+                    "XLA_FLAGS=--xla_force_host_platform_device_count=8 "
+                    "for virtual-mesh runs.")
+    return ap.parse_args()
 
+
+def shapes(args):
+    if args.small:
+        return 4, 16, 64, 32, 2
+    return 64, 200, 4096, 200, 5
+
+
+def make_mesh_or_none(mesh_arg):
+    if mesh_arg is None:
+        return None
+    import jax
+    from qagnn_tpu.parallel.mesh import make_mesh
+    parts = [int(x) for x in mesh_arg.split(",")]
+    d = parts[0]
+    m = parts[1] if len(parts) > 1 else 1
+    need = d * m
+    assert need <= len(jax.devices()), (
+        f"mesh {d}x{m} needs {need} devices, have {len(jax.devices())} "
+        "(hint: JAX_PLATFORMS=cpu "
+        "XLA_FLAGS=--xla_force_host_platform_device_count=8)")
+    return make_mesh(d, m)
+
+
+def place(tree, mesh):
+    """Shard leading axis of every array leaf on `data`; replicate scalars."""
+    if mesh is None:
+        return tree
+    from qagnn_tpu.parallel.mesh import shard_batch
+    return shard_batch(tree, mesh)
+
+
+def replicate(tree, mesh):
+    if mesh is None:
+        return tree
+    import jax
+    from qagnn_tpu.parallel.mesh import replicated
+    rep = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, rep), tree)
+
+
+# ---------------------------------------------------------------------------
+# mode gnn: bespoke step over the message-passing module only
+# ---------------------------------------------------------------------------
+
+def run_gnn(args, mesh):
     import numpy as np
     import jax
-    # persistent compile cache: repeat bench runs skip the (minutes-long)
-    # remote TPU compile
-    jax.config.update("jax_compilation_cache_dir", "/tmp/qagnn_tpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import jax.tree_util as jtu
     from qagnn_tpu.models.gnn import QAGNNMessagePassing
 
-    if args.small:
-        G, N, E, D, K = 4, 16, 64, 32, 2
-    else:
-        G, N, E, D, K = 64, 200, 4096, 200, 5
+    G, N, E, D, K = shapes(args)
     N_NTYPE, N_ETYPE = 4, 38
 
     rng = np.random.default_rng(0)
@@ -79,16 +151,19 @@ def main():
                            train=False)
     key = jax.random.PRNGKey(1)
 
+    inputs = (node_type, node_score, edge_src, edge_dst, edge_type, edge_mask)
+    H = place(H, mesh)
+    inputs = place(inputs, mesh)
+    variables = replicate(variables, mesh)
+
     def loss_fn(params, H, batch_stats, dkey):
         v = {"params": params, "batch_stats": batch_stats}
         if train:
             out, upd = model.apply(
-                v, H, node_type, node_score, edge_src, edge_dst,
-                edge_type, edge_mask, train=True,
+                v, H, *inputs, train=True,
                 rngs={"dropout": dkey}, mutable=["batch_stats"])
             return jnp.sum(out * out), upd["batch_stats"]
-        out = model.apply(v, H, node_type, node_score, edge_src, edge_dst,
-                          edge_type, edge_mask, train=False)
+        out = model.apply(v, H, *inputs, train=False)
         return jnp.sum(out * out), batch_stats
 
     grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
@@ -113,20 +188,143 @@ def main():
         _ = float(loss)   # host readback: forces real completion
         return time.perf_counter() - t0
 
+    t0 = time.perf_counter()
     run(2)   # compile + warm
+    compile_s = time.perf_counter() - t0
     lo, hi = max(args.iters // 5, 2), args.iters
     t_lo = run(lo)
     t_hi = run(hi)
     dt = (t_hi - t_lo) / (hi - lo)
+    return G * E * K / dt, compile_s
 
-    edges_per_step = G * E * K  # edges aggregated per fwd(+bwd) pass
-    value = edges_per_step / dt
+
+# ---------------------------------------------------------------------------
+# mode driver: the real train step (make_train_step + radam + LMQAGNN)
+# ---------------------------------------------------------------------------
+
+def run_driver(args, mesh):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from qagnn_tpu.graph.container import BatchedGraphs
+    from qagnn_tpu.models.qagnn import LMQAGNN
+    from qagnn_tpu.models.text_encoder import TextEncoder, TextEncoderConfig
+    from qagnn_tpu.train import (
+        Batch, build_train_optimizer, init_train_state, make_train_step)
+
+    G, N, E, D, K = shapes(args)
+    C = 4
+    B = G // C
+    L = 16                      # tiny LM so the GNN dominates the step
+    N_NTYPE, N_ETYPE = 4, 38
+    N_CONCEPT, CIN = 512, 64    # small entity table: bench measures compute,
+                                # not the 799k-row table gather
+
+    enc_cfg = TextEncoderConfig.tiny(hidden_size=64, num_layers=1,
+                                     max_position_embeddings=L + 8)
+    encoder = TextEncoder(enc_cfg)
+    model = LMQAGNN(
+        encoder=encoder, sent_dim=enc_cfg.hidden_size, k=K, n_ntype=N_NTYPE,
+        n_etype=N_ETYPE, n_concept=N_CONCEPT, concept_dim=D,
+        concept_in_dim=CIN, n_attention_head=2, fc_dim=D, n_fc_layer=0,
+        gnn_backend=args.backend, gnn_dtype=getattr(jnp, args.dtype))
+
+    rng = np.random.default_rng(0)
+    lm_inputs = {
+        "input_ids": jnp.asarray(
+            rng.integers(0, enc_cfg.vocab_size, (B, C, L)), jnp.int32),
+        "attention_mask": jnp.ones((B, C, L), jnp.int32),
+    }
+    graph = BatchedGraphs(
+        concept_ids=jnp.asarray(rng.integers(1, N_CONCEPT, (G, N)), jnp.int32)
+            .at[:, 0].set(0),
+        node_types=jnp.asarray(rng.integers(0, N_NTYPE, (G, N)), jnp.int32),
+        node_scores=jnp.asarray(rng.standard_normal((G, N)), jnp.float32),
+        num_nodes=jnp.full((G,), N, jnp.int32),
+        edge_src=jnp.asarray(rng.integers(0, N, (G, E)), jnp.int32),
+        edge_dst=jnp.asarray(rng.integers(0, N, (G, E)), jnp.int32),
+        edge_type=jnp.asarray(rng.integers(0, N_ETYPE, (G, E)), jnp.int32),
+        edge_mask=jnp.ones((G, E), bool))
+    labels = jnp.asarray(rng.integers(0, C, (B,)), jnp.int32)
+    batch = Batch(lm_inputs=lm_inputs, graph=graph, labels=labels)
+
+    state0 = None
+    optimizer = None
+
+    def build_state():
+        nonlocal optimizer
+        import jax
+        key = jax.random.PRNGKey(0)
+        params_probe = model.init(key, batch.lm_inputs, batch.graph)["params"]
+        optimizer = build_train_optimizer(params_probe)
+        return init_train_state(model, optimizer, key, batch)
+
+    state0 = build_state()
+    train_step = make_train_step(model, optimizer)
+
+    batch_p = place(batch, mesh)
+    state_p = replicate(state0, mesh)
+    trainable = jnp.ones([], bool)
+
+    def run(n):
+        s = state_p
+        metrics = None
+        t0 = time.perf_counter()
+        for _ in range(n):
+            s, metrics = train_step(s, batch_p, trainable)
+        _ = float(metrics["loss"])
+        return time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    run(2)
+    compile_s = time.perf_counter() - t0
+    lo, hi = max(args.iters // 5, 2), args.iters
+    t_lo = run(lo)
+    t_hi = run(hi)
+    dt = (t_hi - t_lo) / (hi - lo)
+    return G * E * K / dt, compile_s
+
+
+def main():
+    args = parse_args()
+
+    import jax
+    # persistent compile cache: repeat bench runs skip the (minutes-long)
+    # remote TPU compile
+    jax.config.update("jax_compilation_cache_dir", "/tmp/qagnn_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    runner = run_driver if args.mode == "driver" else run_gnn
+    mesh = make_mesh_or_none(args.mesh)
+
+    extras = {}
+    if args.scaling and mesh is not None:
+        from qagnn_tpu.parallel.mesh import make_mesh
+        v1, _ = runner(args, make_mesh(1, 1))
+        extras["mesh1_edges_per_s"] = round(v1, 1)
+
+    value, compile_s = runner(args, mesh)
+    extras["compile_s"] = round(compile_s, 1)
+    if mesh is not None:
+        d = mesh.shape["data"] * mesh.shape["model"]
+        extras["mesh"] = f"{mesh.shape['data']}x{mesh.shape['model']}"
+        if args.scaling:
+            extras["scaling_efficiency"] = round(
+                value / (d * extras["mesh1_edges_per_s"]), 3)
+    if args.mode != "gnn":
+        extras["mode"] = args.mode
+    if args.backend:
+        extras["backend"] = args.backend
+
     baseline = 1e8
     print(json.dumps({
         "metric": "gnn_5layer_train_step_edges_per_s_per_chip",
         "value": round(value, 1),
         "unit": "edges/s",
         "vs_baseline": round(value / baseline, 3),
+        **extras,
     }))
 
 

@@ -57,8 +57,21 @@ def build_model_and_data(cfg: TrainConfig, tokenizer=None):
         concept_in_dim=concept_in_dim, n_attention_head=cfg.att_head_num,
         fc_dim=cfg.fc_dim, n_fc_layer=cfg.fc_layer_num,
         p_emb=cfg.dropouti, p_gnn=cfg.dropoutg, p_fc=cfg.dropoutf,
-        init_std=cfg.init_range)
+        init_std=cfg.init_range, gnn_backend=cfg.gnn_backend,
+        gnn_dtype=resolve_gnn_dtype(cfg.gnn_dtype))
     return dataset, model, cp_emb, pretrained_encoder
+
+
+def resolve_gnn_dtype(name: str):
+    """'auto' -> bfloat16 on TPU (the analog of the reference's fp16 amp,
+    reference qagnn.py:232-234), float32 elsewhere."""
+    import jax
+    import jax.numpy as jnp
+
+    if name == "auto":
+        return jnp.bfloat16 if jax.default_backend() == "tpu" \
+            else jnp.float32
+    return jnp.bfloat16 if name == "bfloat16" else jnp.float32
 
 
 def load_pretrained_encoder(cfg: TrainConfig):
@@ -375,11 +388,43 @@ def eval_detail(cfg: TrainConfig) -> dict:
 
     params, batch_stats = state_dict["params"], state_dict["batch_stats"]
 
-    def evaluate(split_iter, out_csv=None):
-        correct, total, rows = 0, 0, []
+    # Detail mode (reference qagnn.py:407-424 + modeling_qagnn.py:236-241):
+    # beyond the prediction CSV, dump the analysis tensors — pooler
+    # attention, per-layer GNN edge/self-loop alphas, and the graph tensors
+    # the reference echoes back — for the first `detail_batches` test
+    # batches (the full-split alpha tensors are TB-scale; the reference
+    # computes and discards them, qagnn.py:416).
+    detail_batches = 1 if cfg.save_model else 0
+    detail_step = None
+    if detail_batches:
+        from qagnn_tpu.train.step import make_detail_step
+        detail_step = make_detail_step(
+            model, encoder_layer_id=saved_cfg.encoder_layer)
+
+    def evaluate(split_iter, out_csv=None, detail_path=None):
+        correct, total, rows, detailed = 0, 0, [], 0
         for qids, batch, pad in split_iter:
-            logits = np.asarray(eval_step(params, batch_stats,
-                                          batch.lm_inputs, batch.graph))
+            if detail_path and detailed < detail_batches:
+                logits, pool_attn, (edge_a, self_a) = detail_step(
+                    params, batch_stats, batch.lm_inputs, batch.graph)
+                g = batch.graph
+                np.savez_compressed(
+                    f"{detail_path}.{detailed}.npz",
+                    qids=np.asarray(qids), logits=np.asarray(logits),
+                    pool_attn=np.asarray(pool_attn),
+                    gnn_edge_alpha=np.asarray(edge_a),
+                    gnn_self_alpha=np.asarray(self_a),
+                    concept_ids=np.asarray(g.concept_ids),
+                    node_types=np.asarray(g.node_types),
+                    edge_src=np.asarray(g.edge_src),
+                    edge_dst=np.asarray(g.edge_dst),
+                    edge_type=np.asarray(g.edge_type),
+                    edge_mask=np.asarray(g.edge_mask))
+                detailed += 1
+                logits = np.asarray(logits)
+            else:
+                logits = np.asarray(eval_step(params, batch_stats,
+                                              batch.lm_inputs, batch.graph))
             n = logits.shape[0] - pad
             labels = np.asarray(batch.labels[:n])
             correct += int((logits[:n].argmax(1) == labels).sum())
@@ -393,7 +438,8 @@ def eval_detail(cfg: TrainConfig) -> dict:
 
     dev_acc = evaluate(dataset.dev())
     test_acc = evaluate(dataset.test(),
-                        os.path.join(cfg.save_dir, "predictions_test.csv")) \
+                        os.path.join(cfg.save_dir, "predictions_test.csv"),
+                        detail_path=os.path.join(cfg.save_dir, "test_detail")) \
         if dataset.test_size() else 0.0
     print(f"| dev_acc {dev_acc:.4f} | test_acc {test_acc:.4f} |")
     return {"dev_acc": dev_acc, "test_acc": test_acc}

@@ -189,7 +189,8 @@ class QAGNNMessagePassing(nn.Module):
         edge_mask: Array,    # (G, E) bool
         *,
         train: bool,
-    ) -> Array:
+        return_alpha: bool = False,
+    ):
         G, N, D = H.shape
         assert D == self.hidden_size
         half = D // 2
@@ -240,14 +241,21 @@ class QAGNNMessagePassing(nn.Module):
         self_emb = all_emb[G * E:].reshape(G, N, D)
 
         # --- k GNN layers (reference mp_helper :45-50) --------------------
+        # With return_alpha, every layer also yields its per-edge/self-loop
+        # attention weights — the analog of the reference's per-conv
+        # `self._alpha` stash (reference modeling/modeling_qagnn.py:445-450).
         X = H
+        alphas = []
         for i in range(self.k):
             X = GATConvE(emb_dim=D, head_count=self.head_count,
                          init_std=self.init_std, backend=self.backend,
                          dtype=self.dtype, name=f"gnn_layer_{i}")(
                 jnp.concatenate([X, node_extra], axis=2),
                 edge_src, edge_dst, edge_mask, edge_emb, self_emb,
-                train=train)
+                train=train, return_alpha=return_alpha)
+            if return_alpha:
+                X, layer_alphas = X
+                alphas.append(layer_alphas)
             X = gelu(X)
             X = nn.Dropout(self.dropout, deterministic=not train)(X)
 
@@ -255,4 +263,10 @@ class QAGNNMessagePassing(nn.Module):
         out = gelu(
             nn.Dense(D, kernel_init=normal_init(self.init_std), name="Vh")(H)
             + nn.Dense(D, kernel_init=normal_init(self.init_std), name="Vx")(X))
-        return nn.Dropout(self.dropout, deterministic=not train)(out)
+        out = nn.Dropout(self.dropout, deterministic=not train)(out)
+        if return_alpha:
+            # (k, G, E, H) edge alphas and (k, G, N, H) self-loop alphas
+            edge_a = jnp.stack([a[0] for a in alphas])
+            self_a = jnp.stack([a[1] for a in alphas])
+            return out, (edge_a, self_a)
+        return out

@@ -61,13 +61,17 @@ class QAGNN(nn.Module):
     p_gnn: float = 0.2
     p_fc: float = 0.2
     init_std: float = 0.02
+    gnn_backend: str | None = None       # sparse backend; None = auto
+    gnn_dtype: Any = jnp.float32         # GNN hot-path compute dtype
 
     @nn.compact
     def __call__(self, sent_vecs: Array, graph: BatchedGraphs, *,
-                 train: bool = False, return_pool_attn: bool = False):
+                 train: bool = False, return_pool_attn: bool = False,
+                 return_gnn_attn: bool = False):
         """sent_vecs: (G, sent_dim); graph holds (G, N) node arrays + (G, E) edges.
 
-        Returns logits (G, 1) [and pooler attention (n_head*G, N)].
+        Returns logits (G, 1) [, pooler attention (n_head*G, N)]
+        [, GNN attention ((k, G, E, H) edge alphas, (k, G, N, H) self alphas)].
         """
         # Context-node feature from the sentence vector (reference :153).
         gnn_input0 = gelu(nn.Dense(self.concept_dim,
@@ -90,10 +94,14 @@ class QAGNN(nn.Module):
         gnn_output = QAGNNMessagePassing(
             k=self.k, n_ntype=self.n_ntype, n_etype=self.n_etype,
             hidden_size=self.concept_dim, dropout=self.p_gnn,
-            init_std=self.init_std, name="gnn")(
+            init_std=self.init_std, backend=self.gnn_backend,
+            dtype=self.gnn_dtype, name="gnn")(
             gnn_input, graph.node_types, node_scores,
             graph.edge_src, graph.edge_dst, graph.edge_type, graph.edge_mask,
-            train=train)
+            train=train, return_alpha=return_gnn_attn)
+        gnn_attn = None
+        if return_gnn_attn:
+            gnn_output, gnn_attn = gnn_output
 
         z_vecs = gnn_output[:, 0]  # context-node state (reference :172)
 
@@ -119,9 +127,12 @@ class QAGNN(nn.Module):
                      layer_norm=True, init_std=self.init_std,
                      name="fc")(concat, deterministic=not train)
 
+        out = (logits,)
         if return_pool_attn:
-            return logits, pool_attn
-        return logits
+            out = out + (pool_attn,)
+        if return_gnn_attn:
+            out = out + (gnn_attn,)
+        return out if len(out) > 1 else logits
 
 
 class LMQAGNN(nn.Module):
@@ -148,14 +159,20 @@ class LMQAGNN(nn.Module):
     p_gnn: float = 0.2
     p_fc: float = 0.2
     init_std: float = 0.02
+    gnn_backend: str | None = None
+    gnn_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, lm_inputs: dict[str, Array], graph: BatchedGraphs, *,
                  layer_id: int = -1, train: bool = False,
-                 return_pool_attn: bool = False):
+                 return_pool_attn: bool = False, detail: bool = False):
         """lm_inputs: dict of (B, C, L) arrays (input_ids, attention_mask, ...).
 
-        Returns logits (B, C) [and pooler attention].
+        Returns logits (B, C) [and pooler attention]. With detail=True
+        (reference modeling/modeling_qagnn.py:236-241): (logits, pool_attn,
+        gnn_attn) where gnn_attn = ((k, G, E, H) edge alphas, (k, G, N, H)
+        self-loop alphas); the input graph already carries the concept_ids /
+        node_types / edge tensors the reference echoes back.
         """
         first = next(iter(lm_inputs.values()))
         bs, nc = first.shape[0], first.shape[1]
@@ -172,9 +189,16 @@ class LMQAGNN(nn.Module):
             concept_dim=self.concept_dim, concept_in_dim=self.concept_in_dim,
             n_attention_head=self.n_attention_head, fc_dim=self.fc_dim,
             n_fc_layer=self.n_fc_layer, p_emb=self.p_emb, p_gnn=self.p_gnn,
-            p_fc=self.p_fc, init_std=self.init_std, name="decoder")(
-            sent_vecs, graph, train=train, return_pool_attn=return_pool_attn)
+            p_fc=self.p_fc, init_std=self.init_std,
+            gnn_backend=self.gnn_backend, gnn_dtype=self.gnn_dtype,
+            name="decoder")(
+            sent_vecs, graph, train=train,
+            return_pool_attn=return_pool_attn or detail,
+            return_gnn_attn=detail)
 
+        if detail:
+            logits, pool_attn, gnn_attn = out
+            return logits.reshape(bs, nc), pool_attn, gnn_attn
         if return_pool_attn:
             logits, pool_attn = out
             return logits.reshape(bs, nc), pool_attn

@@ -80,11 +80,13 @@ def relational_gat_attention_nodes(
     if backend is None:
         backend = default_backend()
 
+    if backend == "pallas" and return_alpha:
+        # The fused kernel never materializes per-edge alphas (that is the
+        # point); analysis paths (eval_detail) fall back to the XLA onehot
+        # backend, which matches the kernel up to fp reassociation.
+        backend = "onehot"
+
     if backend == "pallas":
-        if return_alpha:
-            raise NotImplementedError(
-                "return_alpha not supported by the fused kernel; "
-                "use backend='onehot'")
         from qagnn_tpu.ops.pallas_gat import pallas_relational_gat
 
         G, N, H, D = node_query.shape

@@ -1,42 +1,52 @@
 """Pallas TPU fused kernels (forward AND backward) for the relational GAT core.
 
-Fuses the whole per-graph chain — one-hot build, node->edge gathers (MXU),
+Fuses the per-graph sparse chain — one-hot build, node->edge gathers (MXU),
 SDDMM, source-grouped softmax with analytic self-loops, out-degree rescale,
-weighted scatter-add (SpMM) — into ONE kernel with all intermediates in VMEM.
+weighted scatter-add (SpMM) — into a small pipeline of grid-tiled kernels
+with all edge-sized intermediates streamed through VMEM tile by tile.
 The XLA "onehot" backend (qagnn_tpu.ops.gat_attention) materializes every
 (E, N) one-hot and every (E, H*D) temporary in HBM; here HBM traffic shrinks
-to the actual inputs/outputs, the main lever for this bandwidth-bound op.
+to the actual inputs/outputs plus tiny (H, E) score planes — the main lever
+for this bandwidth-bound op.
 
-TPU layout decisions (v5e Mosaic):
-  * indices/mask ride as (G, 1, E) — edge dim on LANES. A (E, 1) layout pads
-    each scalar to a 128-lane row (2 MB per operand, double-buffered = OOM).
+Architecture (v2 — the round-2 single-kernel design held whole (E, HD) edge
+operands and (H, E) scratch in VMEM per graph and OOM'd the v5e's 16 MB
+scoped VMEM at production shapes; this version moves edge tiling into the
+pallas_call grid instead):
+
+  * grid = (G, n_tiles): program (g, t) sees one TILE_E-edge block of each
+    edge-sized operand via BlockSpecs; Mosaic double-buffers the tile DMAs.
+  * node-sized outputs (denominators, aggregates, node cotangents) use a
+    t-invariant index map (g, t) -> (g, 0, 0): the block stays resident in
+    VMEM across the whole t-loop (zeroed at t == 0, accumulated, flushed
+    once when g advances) — the standard Pallas accumulation pattern.
+  * the cheap dense glue between edge passes (global max shift, exp, scale
+    = degree/denominator, the self-loop path, closing the softmax VJP chain)
+    runs as plain XLA on (G, N, H)/(G, H, E)-sized arrays — a few hundred KB
+    per graph, fused by XLA, not worth kernel complexity.
+  * VMEM per program is a few tile-sized blocks (~2-4 MB at TILE_E=2048,
+    bf16), independent of E; and each kernel body is compiled ONCE for the
+    whole grid instead of unrolling a fori_loop over tiles — Mosaic compile
+    time drops from ~10 min (round-2 design) to seconds.
+
+TPU layout decisions (v5e Mosaic), carried over from v1:
+  * indices/mask ride as (G, 1, E) — edge dim on LANES.
   * one-hots are built TRANSPOSED, (N, T): node ids vary along sublanes via
-    broadcasted_iota(dim 0), edge indices broadcast along sublanes from the
-    lane-major (1, T) slice — no cross-layout transposes anywhere.
-  * one-hot built by integer arithmetic max(1-|ids-idx|, 0): v5e Mosaic
-    rejects vector compares against broadcast operands.
-  * per-head score reduction via a block-diagonal selector matmul
-    (HD, H)-shaped — dph is not lane-aligned, reshapes to (.., H, dph) are
-    not; the selector keeps everything MXU-shaped.
-  * per-edge scores/exp live as (H, E) buffers — (E, H) would pad H->128.
+    broadcasted_iota(dim 0); built by integer arithmetic max(1-|ids-idx|, 0)
+    (v5e Mosaic rejects vector compares against broadcast operands).
+  * per-head score reduction via a block-diagonal selector matmul (HD, H);
+    (H, T) -> (T, H) transposes via identity matmul (no Mosaic relayout).
+  * per-edge scores/exps live as (H, E) planes — (E, H) would pad H->128.
   * all matmul accumulators f32 (Mosaic requires 32-bit acc).
   * softmax uses a per-graph GLOBAL max shift per head — exact per-group
     softmax, guarded denominator (same scheme as the XLA onehot backend,
     which stop-gradients the shift; the backward treats it as constant).
 
-grid = (G,); each program handles one graph, looping over edge tiles of
-TILE_E so VMEM holds only (N, TILE_E)-sized one-hots.
-
-The forward emits small residuals (exp-scores (H, E), raw softmax
-denominators, degree/denominator scales, self-loop exps — ~(4E + 12N)·H
-floats per graph) that the fused backward kernel consumes; node->edge
-gathers are recomputed from one-hot tiles in VMEM rather than saved, so the
-backward's HBM traffic is again just real inputs/outputs/gradients.
-
 Semantics match qagnn_tpu.ops.gat_attention.relational_gat_attention_nodes
 (reference modeling/modeling_qagnn.py:411-484); forward and backward are
 cross-checked against the XLA backends' values and VJPs in
-tests/test_pallas_gat.py (interpret mode) and on real TPU via bench.py.
+tests/test_pallas_gat.py (interpret mode, incl. forced multi-tile) and on
+real TPU via bench.py --backend pallas.
 """
 
 from __future__ import annotations
@@ -51,8 +61,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-TILE_E = 1024
+TILE_E = 2048
 _DENOM_EPS = 1e-16
+_NEG = -1e30
 
 
 def _selector(hd: int, h: int, dtype):
@@ -69,142 +80,131 @@ def _eye(n: int, dtype):
     return ((a - b) == 0).astype(dtype)
 
 
-def _tile_onehots(src_ref, dst_ref, mask_ref, n_nodes, tile_e, cdt, t):
-    """Transposed masked one-hots (N, T) for edge tile t.
+def _tile_onehots(src_ref, dst_ref, mask_ref, n_nodes, cdt, *, need_dst=True):
+    """Transposed masked one-hots (N, T) for the current edge-tile block.
 
-    src/dst/mask refs are (1, 1, E) blocks — edge dim on lanes.
+    src/dst/mask refs are (1, 1, T) blocks — edge dim on lanes.
     """
-    a = t * tile_e
-    src = jnp.broadcast_to(src_ref[0, :, pl.ds(a, tile_e)],
-                           (n_nodes, tile_e))                 # (N, T)
-    dst = jnp.broadcast_to(dst_ref[0, :, pl.ds(a, tile_e)],
-                           (n_nodes, tile_e))
-    m = jnp.broadcast_to(mask_ref[0, :, pl.ds(a, tile_e)],
-                         (n_nodes, tile_e)).astype(cdt)
-    ids = jax.lax.broadcasted_iota(jnp.int32, (n_nodes, tile_e), 0)
+    t = src_ref.shape[-1]
+    src = jnp.broadcast_to(src_ref[0], (n_nodes, t))             # (N, T)
+    m = jnp.broadcast_to(mask_ref[0], (n_nodes, t)).astype(cdt)
+    ids = jax.lax.broadcasted_iota(jnp.int32, (n_nodes, t), 0)
     oh_s = jnp.maximum(1 - jnp.abs(ids - src), 0).astype(cdt) * m
+    if not need_dst:
+        return oh_s, None
+    dst = jnp.broadcast_to(dst_ref[0], (n_nodes, t))
     oh_d = jnp.maximum(1 - jnp.abs(ids - dst), 0).astype(cdt) * m
     return oh_s, oh_d
 
 
+def _gather(oh_t, nodes):
+    """(N, T)^T @ (N, F) -> (T, F), f32 accumulate (node->edge gather)."""
+    return jax.lax.dot_general(
+        oh_t, nodes, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _scatter(oh_t, vals):
+    """(N, T) @ (T, F) -> (N, F), f32 accumulate (edge->node scatter-add)."""
+    return jax.lax.dot_general(
+        oh_t, vals, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _gather_nh(oh_t, vals_nh):
+    """(N, T)^T @ (N, H) -> (T, H) in f32 (per-head node->edge gather)."""
+    return jax.lax.dot_general(
+        oh_t.astype(jnp.float32), vals_nh,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _to_hd(x_th, sel):
+    """(T, H) -> (T, HD) per-head broadcast via the selector matmul."""
+    return jax.lax.dot_general(
+        x_th, sel, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _to_th(x_ht, eye_h):
+    """(H, T) -> (T, H) via identity matmul (no Mosaic relayout)."""
+    return jax.lax.dot_general(
+        x_ht, eye_h, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _heads_to_hd_xla(x_nh, hd):
+    """XLA-side (…, H) -> (…, HD) per-head broadcast."""
+    h = x_nh.shape[-1]
+    dph = hd // h
+    return jnp.broadcast_to(x_nh[..., None],
+                            x_nh.shape + (dph,)).reshape(*x_nh.shape[:-1], hd)
+
+
+def _head_sum_xla(x_nhd, heads):
+    """XLA-side per-head reduction (…, HD) -> (…, H)."""
+    dph = x_nhd.shape[-1] // heads
+    return jnp.sum(x_nhd.reshape(*x_nhd.shape[:-1], heads, dph), axis=-1)
+
+
 # ---------------------------------------------------------------------------
-# forward kernel
+# forward kernels
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(nq_ref, nk_ref, nm_ref, ekb_ref, emb_ref, skb_ref, smb_ref,
-                src_ref, dst_ref, mask_ref,
-                out_ref, eedge_ref, denom_ref, scale_ref, eself_ref,
-                deg_ref,
-                *, n_nodes, n_edges, hd, heads, tile_e):
+def _scores_kernel(nq_ref, nk_ref, ekb_ref, src_ref, dst_ref, mask_ref,
+                   scores_ref, *, n_nodes, hd, heads):
+    """Per-edge attention logits for one edge tile: (H, T) raw scores."""
     f32 = jnp.float32
     cdt = nq_ref.dtype
-    N, HD, H = n_nodes, hd, heads
-    S32 = _selector(HD, H, f32)           # (HD, H)
+    sel = _selector(hd, heads, f32)
+    oh_s, oh_d = _tile_onehots(src_ref, dst_ref, mask_ref, n_nodes, cdt)
+    eq = _gather(oh_s, nq_ref[0])                                # (T, HD) f32
+    ek = _gather(oh_d, nk_ref[0]) + ekb_ref[0].astype(f32)
+    # (HD, H) contracted with (T, HD) over HD -> (H, T)
+    scores_ref[0] = jax.lax.dot_general(
+        sel, eq * ek, dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=f32)
 
-    nq = nq_ref[0]                        # (N, HD)
-    nk = nk_ref[0]
-    nm = nm_ref[0]
 
-    n_tiles = n_edges // tile_e
-    onehots_t = functools.partial(_tile_onehots, src_ref, dst_ref, mask_ref,
-                                  N, tile_e, cdt)
+def _denom_kernel(src_ref, dst_ref, mask_ref, ee_ref,
+                  denom_ref, deg_ref, *, n_nodes, heads):
+    """Accumulate per-source softmax denominators and out-degrees."""
+    f32 = jnp.float32
+    t = pl.program_id(1)
 
-    def gather(oh_t, nodes):
-        """(N, T)^T @ (N, F) -> (T, F), f32 accumulate."""
-        return jax.lax.dot_general(
-            oh_t, nodes, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=f32)
+    @pl.when(t == 0)
+    def _():
+        denom_ref[0] = jnp.zeros_like(denom_ref[0])
+        deg_ref[0] = jnp.zeros_like(deg_ref[0])
 
-    # ---- pass A: per-edge attention logits -> eedge_ref (H, E) ----------
-    def pass_a(t, carry):
-        a = t * tile_e
-        oh_s, oh_d = onehots_t(t)
-        eq = gather(oh_s, nq)                                    # (T, HD)
-        ek = gather(oh_d, nk) + ekb_ref[0, pl.ds(a, tile_e)].astype(f32)
-        # (HD, H)^T contracted with (T, HD) over HD -> (H, T)
-        scores = jax.lax.dot_general(
-            S32, eq * ek, dimension_numbers=(((0,), (1,)), ((), ())),
-            preferred_element_type=f32)                          # (H, T)
-        eedge_ref[0, :, pl.ds(a, tile_e)] = scores
-        return carry
+    oh_s, _ = _tile_onehots(src_ref, dst_ref, mask_ref, n_nodes, f32,
+                            need_dst=False)
+    # (N, T) @ (H, T)^T -> (N, H)
+    denom_ref[0] += jax.lax.dot_general(
+        oh_s, ee_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32)
+    deg_ref[0] += jnp.sum(oh_s, axis=1).reshape(n_nodes, 1)
 
-    jax.lax.fori_loop(0, n_tiles, pass_a, 0)
 
-    # self-loop logits (N, H)
-    sk = (nk + skb_ref[0]).astype(f32)
-    self_scores = jnp.dot(nq.astype(f32) * sk, S32,
-                          preferred_element_type=f32)            # (N, H)
+def _aggr_kernel(nm_ref, emb_ref, ee_ref, scale_ref,
+                 src_ref, dst_ref, mask_ref, out_ref, *, n_nodes, hd, heads):
+    """Accumulate weighted messages at dst (the SpMM) over edge tiles."""
+    f32 = jnp.float32
+    cdt = nm_ref.dtype
+    sel = _selector(hd, heads, f32)
+    eye_h = _eye(heads, f32)
+    t = pl.program_id(1)
 
-    # ---- global per-head max shift --------------------------------------
-    mask_all = mask_ref[0].astype(f32)                           # (1, E) 0/1
-    scores_all = eedge_ref[0]                                    # (H, E)
-    masked_scores = scores_all * mask_all + (mask_all - 1.0) * 1e30
-    gmax = jnp.maximum(
-        jnp.max(masked_scores, axis=1, keepdims=True),           # (H, 1)
-        jnp.max(self_scores, axis=0, keepdims=True).reshape(H, 1))
-    e_edge = jnp.exp(scores_all - gmax) * mask_all               # (H, E)
-    eedge_ref[0] = e_edge
-    e_self = jnp.exp(self_scores - gmax.reshape(1, H))           # (N, H)
-    eself_ref[0] = e_self
+    @pl.when(t == 0)
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
 
-    # ---- pass B: denominators + degrees ---------------------------------
-    denom_ref[0] = e_self
-    deg_ref[...] = jnp.zeros((N, H), f32)
-
-    def pass_b(t, carry):
-        a = t * tile_e
-        oh_s, _ = onehots_t(t)
-        et = eedge_ref[0, :, pl.ds(a, tile_e)]                   # (H, T)
-        # (N, T) @ (H, T)^T -> (N, H)
-        part = jax.lax.dot_general(
-            oh_s.astype(f32), et,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=f32)
-        denom_ref[0] += part
-        deg_part = jnp.sum(oh_s.astype(f32), axis=1).reshape(N, 1)
-        deg_ref[...] += jnp.broadcast_to(deg_part, (N, H))
-        return carry
-
-    jax.lax.fori_loop(0, n_tiles, pass_b, 0)
-
-    denom = jnp.maximum(denom_ref[0], _DENOM_EPS)                # (N, H)
-    deg = deg_ref[...][:, 0:1] + 1.0                             # (N, 1)
-    scale_n = deg / denom                                        # (N, H)
-    scale_ref[0] = scale_n
-
-    # ---- pass C: weighted aggregation at dst ----------------------------
-    sm_full = (nm + smb_ref[0]).astype(f32)                      # (N, HD)
-    self_alpha = e_self * scale_n                                # (N, H)
-    # per-head broadcast back to HD lanes: (N, H) @ (HD, H)^T
-    acc = sm_full * jax.lax.dot_general(
-        self_alpha, S32, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=f32)                              # (N, HD)
-    out_ref[0] = acc.astype(out_ref.dtype)
-
-    def pass_c(t, carry):
-        a = t * tile_e
-        oh_s, oh_d = onehots_t(t)
-        msg = gather(oh_s, nm) + emb_ref[0, pl.ds(a, tile_e)].astype(f32)
-        # scale at src per edge: (N, T)^T @ (N, H) -> (T, H)
-        scale_e = jax.lax.dot_general(
-            oh_s.astype(f32), scale_ref[0],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=f32)                          # (T, H)
-        # alpha (T, H) = e_edge tile (H, T) transposed (via identity matmul —
-        # cheaper and safer than a Mosaic relayout transpose) * scale_e
-        et = eedge_ref[0, :, pl.ds(a, tile_e)]                   # (H, T)
-        et_t = jax.lax.dot_general(
-            et, _eye(H, f32), dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=f32)                          # (T, H)
-        alpha_th = et_t * scale_e                                # (T, H)
-        w = (msg * jax.lax.dot_general(
-            alpha_th, S32, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=f32)).astype(cdt)             # (T, HD)
-        part = jnp.dot(oh_d, w, preferred_element_type=f32)      # (N, HD)
-        out_ref[0] += part.astype(out_ref.dtype)
-        return carry
-
-    jax.lax.fori_loop(0, n_tiles, pass_c, 0)
+    oh_s, oh_d = _tile_onehots(src_ref, dst_ref, mask_ref, n_nodes, cdt)
+    msg = _gather(oh_s, nm_ref[0]) + emb_ref[0].astype(f32)      # (T, HD)
+    scale_e = _gather_nh(oh_s, scale_ref[0])                     # (T, H)
+    alpha_th = _to_th(ee_ref[0], eye_h) * scale_e                # (T, H)
+    w = (msg * _to_hd(alpha_th, sel)).astype(cdt)                # (T, HD)
+    out_ref[0] += _scatter(oh_d, w)
 
 
 def _fwd_impl(nq, nk, nm, ekb, emb, skb, smb, src, dst, mask, heads,
@@ -214,56 +214,151 @@ def _fwd_impl(nq, nk, nm, ekb, emb, skb, smb, src, dst, mask, heads,
     E = src.shape[1]
     tile_e = min(TILE_E, E)
     assert E % tile_e == 0, (E, tile_e)
-
-    kernel = functools.partial(_fwd_kernel, n_nodes=N, n_edges=E, hd=HD,
-                               heads=heads, tile_e=tile_e)
-
-    node_spec = pl.BlockSpec((1, N, HD), lambda g: (g, 0, 0),
-                             memory_space=pltpu.VMEM)
-    edge_spec = pl.BlockSpec((1, E, HD), lambda g: (g, 0, 0),
-                             memory_space=pltpu.VMEM)
-    # indices/mask as (G, 1, E): edge dim on lanes (see module docstring)
-    idx_spec = pl.BlockSpec((1, 1, E), lambda g: (g, 0, 0),
-                            memory_space=pltpu.VMEM)
-    he_spec = pl.BlockSpec((1, heads, E), lambda g: (g, 0, 0),
-                           memory_space=pltpu.VMEM)
-    nh_spec = pl.BlockSpec((1, N, heads), lambda g: (g, 0, 0),
-                           memory_space=pltpu.VMEM)
-
+    n_tiles = E // tile_e
     f32 = jnp.float32
-    return pl.pallas_call(
-        kernel,
-        grid=(G,),
-        in_specs=[node_spec, node_spec, node_spec, edge_spec, edge_spec,
-                  node_spec, node_spec, idx_spec, idx_spec, idx_spec],
-        out_specs=(pl.BlockSpec((1, N, HD), lambda g: (g, 0, 0),
-                                memory_space=pltpu.VMEM),
-                   he_spec, nh_spec, nh_spec, nh_spec),
-        out_shape=(jax.ShapeDtypeStruct((G, N, HD), f32),
-                   jax.ShapeDtypeStruct((G, heads, E), f32),   # exp scores
-                   jax.ShapeDtypeStruct((G, N, heads), f32),   # raw denom
-                   jax.ShapeDtypeStruct((G, N, heads), f32),   # deg/denom
-                   jax.ShapeDtypeStruct((G, N, heads), f32)),  # self exps
-        scratch_shapes=[
-            pltpu.VMEM((N, heads), jnp.float32),   # degree accumulator
-        ],
+    grid = (G, n_tiles)
+
+    node_spec = pl.BlockSpec((1, N, HD), lambda g, t: (g, 0, 0),
+                             memory_space=pltpu.VMEM)
+    etile_spec = pl.BlockSpec((1, tile_e, HD), lambda g, t: (g, t, 0),
+                              memory_space=pltpu.VMEM)
+    idx_spec = pl.BlockSpec((1, 1, tile_e), lambda g, t: (g, 0, t),
+                            memory_space=pltpu.VMEM)
+    he_spec = pl.BlockSpec((1, heads, tile_e), lambda g, t: (g, 0, t),
+                           memory_space=pltpu.VMEM)
+    nh_spec = pl.BlockSpec((1, N, heads), lambda g, t: (g, 0, 0),
+                           memory_space=pltpu.VMEM)
+    n1_spec = pl.BlockSpec((1, N, 1), lambda g, t: (g, 0, 0),
+                           memory_space=pltpu.VMEM)
+
+    src3, dst3, mask3 = src[:, None, :], dst[:, None, :], mask[:, None, :]
+
+    # ---- pass A: raw per-edge logits (G, H, E) --------------------------
+    scores = pl.pallas_call(
+        functools.partial(_scores_kernel, n_nodes=N, hd=HD, heads=heads),
+        grid=grid,
+        in_specs=[node_spec, node_spec, etile_spec,
+                  idx_spec, idx_spec, idx_spec],
+        out_specs=he_spec,
+        out_shape=jax.ShapeDtypeStruct((G, heads, E), f32),
         interpret=interpret,
-    )(nq, nk, nm, ekb, emb, skb, smb,
-      src[:, None, :], dst[:, None, :], mask[:, None, :])
+    )(nq, nk, ekb, src3, dst3, mask3)
+
+    # ---- dense glue: self-loop logits, global max shift, exps (XLA) -----
+    self_scores = _head_sum_xla(
+        nq.astype(f32) * (nk + skb).astype(f32), heads)          # (G, N, H)
+    mask_f = mask.astype(f32)[:, None, :]                        # (G, 1, E)
+    masked_scores = jnp.where(mask_f > 0, scores, _NEG)
+    gmax = jnp.maximum(
+        jnp.max(masked_scores, axis=2),                          # (G, H)
+        jnp.max(self_scores, axis=1))                            # (G, H)
+    gmax = jax.lax.stop_gradient(gmax)
+    e_edge = jnp.exp(scores - gmax[:, :, None]) * mask_f         # (G, H, E)
+    e_self = jnp.exp(self_scores - gmax[:, None, :])             # (G, N, H)
+
+    # ---- pass B: denominators + degrees ---------------------------------
+    denom_edges, deg = pl.pallas_call(
+        functools.partial(_denom_kernel, n_nodes=N, heads=heads),
+        grid=grid,
+        in_specs=[idx_spec, idx_spec, idx_spec, he_spec],
+        out_specs=(nh_spec, n1_spec),
+        out_shape=(jax.ShapeDtypeStruct((G, N, heads), f32),
+                   jax.ShapeDtypeStruct((G, N, 1), f32)),
+        interpret=interpret,
+    )(src3, dst3, mask3, e_edge)
+
+    denom_raw = denom_edges + e_self                             # (G, N, H)
+    scale = (deg + 1.0) / jnp.maximum(denom_raw, _DENOM_EPS)     # (G, N, H)
+
+    # ---- pass C: weighted aggregation at dst ----------------------------
+    out_edges = pl.pallas_call(
+        functools.partial(_aggr_kernel, n_nodes=N, hd=HD, heads=heads),
+        grid=grid,
+        in_specs=[node_spec, etile_spec, he_spec, nh_spec,
+                  idx_spec, idx_spec, idx_spec],
+        out_specs=node_spec,
+        out_shape=jax.ShapeDtypeStruct((G, N, HD), f32),
+        interpret=interpret,
+    )(nm, emb, e_edge, scale, src3, dst3, mask3)
+
+    # self-loop contribution (dense, XLA)
+    self_alpha = e_self * scale                                  # (G, N, H)
+    sm_full = (nm + smb).astype(f32)
+    out = out_edges + sm_full * _heads_to_hd_xla(self_alpha, HD)
+    return out, e_edge, denom_raw, scale, e_self
 
 
 # ---------------------------------------------------------------------------
-# backward kernel
+# backward kernels
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(g_ref, nq_ref, nk_ref, nm_ref, ekb_ref, emb_ref,
-                skb_ref, smb_ref, src_ref, dst_ref, mask_ref,
-                eedge_ref, denom_ref, scale_ref, eself_ref,
-                dnq_ref, dnk_ref, dnm_ref, dekb_ref, demb_ref,
-                dskb_ref, dsmb_ref,
-                dalpha_ref, dscale_ref, ddenom_ref,
-                accq_ref, acck_ref, accm_ref,
-                *, n_nodes, n_edges, hd, heads, tile_e):
+def _bwd1_kernel(gc_ref, nm_ref, emb_ref, ee_ref, scale_ref,
+                 src_ref, dst_ref, mask_ref,
+                 demb_ref, dalpha_ref, dscale_ref, dnm_ref,
+                 *, n_nodes, hd, heads):
+    """Pass 1: d_msg -> (demb, dnm scatter), d_alpha, per-source d_scale."""
+    f32 = jnp.float32
+    cdt = nm_ref.dtype
+    sel = _selector(hd, heads, f32)
+    eye_h = _eye(heads, f32)
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        dscale_ref[0] = jnp.zeros_like(dscale_ref[0])
+        dnm_ref[0] = jnp.zeros_like(dnm_ref[0])
+
+    oh_s, oh_d = _tile_onehots(src_ref, dst_ref, mask_ref, n_nodes, cdt)
+    g_dst = _gather(oh_d, gc_ref[0])                             # (T, HD) f32
+    msg = _gather(oh_s, nm_ref[0]) + emb_ref[0].astype(f32)
+    ee = ee_ref[0]                                               # (H, T)
+    scale_src = _gather_nh(oh_s, scale_ref[0])                   # (T, H)
+    alpha_th = _to_th(ee, eye_h) * scale_src
+    d_msg = _to_hd(alpha_th, sel) * g_dst                        # (T, HD)
+    demb_ref[0] = d_msg.astype(demb_ref.dtype)
+    dnm_ref[0] += _scatter(oh_s, d_msg.astype(cdt))
+    dalpha_ht = jax.lax.dot_general(
+        sel, msg * g_dst, dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=f32)                              # (H, T)
+    dalpha_ref[0] = dalpha_ht
+    # per-source sum of d_alpha * e_edge -> d_scale (N, H)
+    dscale_ref[0] += jax.lax.dot_general(
+        oh_s.astype(f32), dalpha_ht * ee,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32)
+
+
+def _bwd2_kernel(nq_ref, nk_ref, ekb_ref, ee_ref, dalpha_ref,
+                 scale_ref, ddenom_ref, src_ref, dst_ref, mask_ref,
+                 dekb_ref, dnq_ref, dnk_ref, *, n_nodes, hd, heads):
+    """Pass 2: d_s per edge -> (dekb, dnq scatter, dnk scatter)."""
+    f32 = jnp.float32
+    cdt = nq_ref.dtype
+    sel = _selector(hd, heads, f32)
+    eye_h = _eye(heads, f32)
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        dnq_ref[0] = jnp.zeros_like(dnq_ref[0])
+        dnk_ref[0] = jnp.zeros_like(dnk_ref[0])
+
+    oh_s, oh_d = _tile_onehots(src_ref, dst_ref, mask_ref, n_nodes, cdt)
+    q_src = _gather(oh_s, nq_ref[0])                             # (T, HD)
+    key = _gather(oh_d, nk_ref[0]) + ekb_ref[0].astype(f32)
+    et_t = _to_th(ee_ref[0], eye_h)                              # (T, H)
+    dalpha_th = _to_th(dalpha_ref[0], eye_h)                     # (T, H)
+    scale_src = _gather_nh(oh_s, scale_ref[0])
+    dden_src = _gather_nh(oh_s, ddenom_ref[0])
+    d_s_th = (dalpha_th * scale_src + dden_src) * et_t           # (T, H)
+    ds_hd = _to_hd(d_s_th, sel)                                  # (T, HD)
+    dekb_ref[0] = (ds_hd * q_src).astype(dekb_ref.dtype)
+    dnq_ref[0] += _scatter(oh_s, (ds_hd * key).astype(cdt))
+    dnk_ref[0] += _scatter(oh_d, (ds_hd * q_src).astype(cdt))
+
+
+def _bwd_impl(nq, nk, nm, ekb, emb, skb, smb, src, dst, mask,
+              e_edge, denom_raw, scale, e_self, g, heads, interpret):
     """Fused VJP. Cotangent flow (gmax shift is a constant, matching the
     XLA onehot backend's stop_gradient):
 
@@ -273,188 +368,82 @@ def _bwd_kernel(g_ref, nq_ref, nk_ref, nm_ref, ekb_ref, emb_ref,
         e_e     = exp(s_e - gmax) * mask_e;   e_n = exp(s_n^self - gmax)
         s_e     = <q[src_e], k[dst_e] + ekb_e>_h (per head)
         msg_e   = m[src_e] + emb_e;  with self-loop analogues via skb/smb.
-
-    Pass 1 (per edge tile): d_msg -> (demb, dnm), d_alpha -> stored (H, E),
-    and the per-source accumulation d_scale. Then the dense self-loop block
-    closes d_scale and computes d_denom. Pass 2: d_s per edge ->
-    (dekb, dnq, dnk). All node cotangents accumulate in f32 scratch.
     """
-    f32 = jnp.float32
-    cdt = nq_ref.dtype
-    N, HD, H = n_nodes, hd, heads
-    S32 = _selector(HD, H, f32)
-    EYE_H = _eye(H, f32)
-
-    g = g_ref[0].astype(f32)              # (N, HD) upstream cotangent
-    gc = g_ref[0].astype(cdt)             # compute-dtype copy for gathers
-    nq = nq_ref[0]
-    nk = nk_ref[0]
-    nm = nm_ref[0]
-    scale = scale_ref[0]                  # (N, H) f32
-    denom_raw = denom_ref[0]
-    e_self = eself_ref[0]
-
-    n_tiles = n_edges // tile_e
-    onehots_t = functools.partial(_tile_onehots, src_ref, dst_ref, mask_ref,
-                                  N, tile_e, cdt)
-
-    def gather(oh_t, nodes):
-        return jax.lax.dot_general(
-            oh_t, nodes, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=f32)
-
-    def scatter_acc(oh_t, vals):
-        """(N, T) @ (T, F) -> (N, F), f32 accumulate."""
-        return jax.lax.dot_general(
-            oh_t, vals, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=f32)
-
-    def to_hd(x_th):
-        """(T, H) -> (T, HD) per-head broadcast."""
-        return jax.lax.dot_general(
-            x_th, S32, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=f32)
-
-    def to_th(x_ht):
-        """(H, T) -> (T, H) via identity matmul (no Mosaic relayout)."""
-        return jax.lax.dot_general(
-            x_ht, EYE_H, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=f32)
-
-    def gather_nh(oh_t, vals_nh):
-        """(N, T)^T @ (N, H) -> (T, H) in f32."""
-        return jax.lax.dot_general(
-            oh_t.astype(f32), vals_nh,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=f32)
-
-    # ---- self-loop message cotangents (independent of the edge passes) ---
-    alpha_self = e_self * scale                                  # (N, H)
-    d_msg_self = jax.lax.dot_general(
-        alpha_self, S32, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=f32) * g                          # (N, HD)
-    dsmb_ref[0] = d_msg_self.astype(dsmb_ref.dtype)
-    accm_ref[...] = d_msg_self
-    msg_self = (nm + smb_ref[0]).astype(f32)
-    d_alpha_self = jnp.dot(msg_self * g, S32,
-                           preferred_element_type=f32)           # (N, H)
-    dscale_ref[...] = d_alpha_self * e_self
-
-    # ---- pass 1: d_msg / d_alpha / d_scale per edge tile -----------------
-    def pass1(t, carry):
-        a = t * tile_e
-        oh_s, oh_d = onehots_t(t)
-        g_dst = gather(oh_d, gc)                                 # (T, HD)
-        msg = gather(oh_s, nm) + emb_ref[0, pl.ds(a, tile_e)].astype(f32)
-        et = eedge_ref[0, :, pl.ds(a, tile_e)]                   # (H, T)
-        scale_src = gather_nh(oh_s, scale)                       # (T, H)
-        alpha_th = to_th(et) * scale_src                         # (T, H)
-        d_msg = to_hd(alpha_th) * g_dst                          # (T, HD)
-        demb_ref[0, pl.ds(a, tile_e)] = d_msg.astype(demb_ref.dtype)
-        accm_ref[...] += scatter_acc(oh_s, d_msg.astype(cdt))
-        dalpha_ht = jax.lax.dot_general(
-            S32, msg * g_dst, dimension_numbers=(((0,), (1,)), ((), ())),
-            preferred_element_type=f32)                          # (H, T)
-        dalpha_ref[:, pl.ds(a, tile_e)] = dalpha_ht
-        # per-source sum of d_alpha * e_edge -> d_scale (N, H)
-        dscale_ref[...] += jax.lax.dot_general(
-            oh_s.astype(f32), dalpha_ht * et,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=f32)
-        return carry
-
-    jax.lax.fori_loop(0, n_tiles, pass1, 0)
-
-    # ---- close the softmax chain ----------------------------------------
-    denom_c = jnp.maximum(denom_raw, _DENOM_EPS)
-    gate = (denom_raw > _DENOM_EPS).astype(f32)
-    d_denom = -(scale / denom_c) * dscale_ref[...] * gate        # (N, H)
-    ddenom_ref[...] = d_denom
-    d_e_self = d_alpha_self * scale + d_denom
-    d_s_self = d_e_self * e_self                                 # (N, H)
-    ds_self_hd = jax.lax.dot_general(
-        d_s_self, S32, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=f32)                              # (N, HD)
-    nqf = nq.astype(f32)
-    nkf = nk.astype(f32)
-    dskb_ref[0] = (ds_self_hd * nqf).astype(dskb_ref.dtype)
-    accq_ref[...] = ds_self_hd * (nkf + skb_ref[0].astype(f32))
-    acck_ref[...] = ds_self_hd * nqf
-
-    # ---- pass 2: d_s per edge -> dekb / dnq / dnk ------------------------
-    def pass2(t, carry):
-        a = t * tile_e
-        oh_s, oh_d = onehots_t(t)
-        q_src = gather(oh_s, nq)                                 # (T, HD)
-        key = gather(oh_d, nk) + ekb_ref[0, pl.ds(a, tile_e)].astype(f32)
-        et_t = to_th(eedge_ref[0, :, pl.ds(a, tile_e)])          # (T, H)
-        dalpha_th = to_th(dalpha_ref[:, pl.ds(a, tile_e)])       # (T, H)
-        scale_src = gather_nh(oh_s, scale)                       # (T, H)
-        dden_src = gather_nh(oh_s, ddenom_ref[...])              # (T, H)
-        d_s_th = (dalpha_th * scale_src + dden_src) * et_t       # (T, H)
-        ds_hd = to_hd(d_s_th)                                    # (T, HD)
-        dekb_ref[0, pl.ds(a, tile_e)] = (ds_hd * q_src).astype(dekb_ref.dtype)
-        accq_ref[...] += scatter_acc(oh_s, (ds_hd * key).astype(cdt))
-        acck_ref[...] += scatter_acc(oh_d, (ds_hd * q_src).astype(cdt))
-        return carry
-
-    jax.lax.fori_loop(0, n_tiles, pass2, 0)
-
-    dnq_ref[0] = accq_ref[...].astype(dnq_ref.dtype)
-    dnk_ref[0] = acck_ref[...].astype(dnk_ref.dtype)
-    dnm_ref[0] = accm_ref[...].astype(dnm_ref.dtype)
-
-
-def _bwd_impl(nq, nk, nm, ekb, emb, skb, smb, src, dst, mask,
-              e_edge, denom_raw, scale, e_self, g, heads, interpret):
     G, N, HD = nq.shape
     E = src.shape[1]
     tile_e = min(TILE_E, E)
     assert E % tile_e == 0, (E, tile_e)
-
-    kernel = functools.partial(_bwd_kernel, n_nodes=N, n_edges=E, hd=HD,
-                               heads=heads, tile_e=tile_e)
-
-    node_spec = pl.BlockSpec((1, N, HD), lambda g_: (g_, 0, 0),
-                             memory_space=pltpu.VMEM)
-    edge_spec = pl.BlockSpec((1, E, HD), lambda g_: (g_, 0, 0),
-                             memory_space=pltpu.VMEM)
-    idx_spec = pl.BlockSpec((1, 1, E), lambda g_: (g_, 0, 0),
-                            memory_space=pltpu.VMEM)
-    he_spec = pl.BlockSpec((1, heads, E), lambda g_: (g_, 0, 0),
-                           memory_space=pltpu.VMEM)
-    nh_spec = pl.BlockSpec((1, N, heads), lambda g_: (g_, 0, 0),
-                           memory_space=pltpu.VMEM)
-
-    node_out = jax.ShapeDtypeStruct((G, N, HD), nq.dtype)
-    edge_out = jax.ShapeDtypeStruct((G, E, HD), ekb.dtype)
+    n_tiles = E // tile_e
     f32 = jnp.float32
+    cdt = nq.dtype
+    grid = (G, n_tiles)
 
-    return pl.pallas_call(
-        kernel,
-        grid=(G,),
-        in_specs=[node_spec,                      # g (upstream, f32)
-                  node_spec, node_spec, node_spec,
-                  edge_spec, edge_spec, node_spec, node_spec,
-                  idx_spec, idx_spec, idx_spec,
-                  he_spec, nh_spec, nh_spec, nh_spec],
-        out_specs=(node_spec, node_spec, node_spec,
-                   edge_spec, edge_spec, node_spec, node_spec),
-        out_shape=(node_out, node_out, node_out,   # dnq dnk dnm
-                   edge_out, edge_out,             # dekb demb
-                   node_out, node_out),            # dskb dsmb
-        scratch_shapes=[
-            pltpu.VMEM((heads, E), f32),   # d_alpha
-            pltpu.VMEM((N, heads), f32),   # d_scale
-            pltpu.VMEM((N, heads), f32),   # d_denom
-            pltpu.VMEM((N, HD), f32),      # dnq accumulator
-            pltpu.VMEM((N, HD), f32),      # dnk accumulator
-            pltpu.VMEM((N, HD), f32),      # dnm accumulator
-        ],
+    node_spec = pl.BlockSpec((1, N, HD), lambda g_, t: (g_, 0, 0),
+                             memory_space=pltpu.VMEM)
+    etile_spec = pl.BlockSpec((1, tile_e, HD), lambda g_, t: (g_, t, 0),
+                              memory_space=pltpu.VMEM)
+    idx_spec = pl.BlockSpec((1, 1, tile_e), lambda g_, t: (g_, 0, t),
+                            memory_space=pltpu.VMEM)
+    he_spec = pl.BlockSpec((1, heads, tile_e), lambda g_, t: (g_, 0, t),
+                           memory_space=pltpu.VMEM)
+    nh_spec = pl.BlockSpec((1, N, heads), lambda g_, t: (g_, 0, 0),
+                           memory_space=pltpu.VMEM)
+
+    src3, dst3, mask3 = src[:, None, :], dst[:, None, :], mask[:, None, :]
+
+    # ---- dense self-loop cotangents (XLA) -------------------------------
+    alpha_self = e_self * scale                                  # (G, N, H)
+    d_msg_self = _heads_to_hd_xla(alpha_self, HD) * g            # (G, N, HD)
+    dsmb = d_msg_self.astype(smb.dtype)
+    msg_self = (nm + smb).astype(f32)
+    d_alpha_self = _head_sum_xla(msg_self * g, heads)            # (G, N, H)
+
+    # ---- pass 1: d_msg / d_alpha / d_scale over edge tiles ---------------
+    gc = g.astype(cdt)
+    demb_g, dalpha, dscale_edges, dnm_edges = pl.pallas_call(
+        functools.partial(_bwd1_kernel, n_nodes=N, hd=HD, heads=heads),
+        grid=grid,
+        in_specs=[node_spec, node_spec, etile_spec, he_spec, nh_spec,
+                  idx_spec, idx_spec, idx_spec],
+        out_specs=(etile_spec, he_spec, nh_spec, node_spec),
+        out_shape=(jax.ShapeDtypeStruct((G, E, HD), emb.dtype),
+                   jax.ShapeDtypeStruct((G, heads, E), f32),
+                   jax.ShapeDtypeStruct((G, N, heads), f32),
+                   jax.ShapeDtypeStruct((G, N, HD), f32)),
         interpret=interpret,
-    )(g, nq, nk, nm, ekb, emb, skb, smb,
-      src[:, None, :], dst[:, None, :], mask[:, None, :],
-      e_edge, denom_raw, scale, e_self)
+    )(gc, nm, emb, e_edge, scale, src3, dst3, mask3)
+
+    # ---- close the softmax chain (dense, XLA) ---------------------------
+    dscale = dscale_edges + d_alpha_self * e_self                # (G, N, H)
+    denom_c = jnp.maximum(denom_raw, _DENOM_EPS)
+    gate = (denom_raw > _DENOM_EPS).astype(f32)
+    d_denom = -(scale / denom_c) * dscale * gate                 # (G, N, H)
+    d_e_self = d_alpha_self * scale + d_denom
+    d_s_self = d_e_self * e_self                                 # (G, N, H)
+    ds_self_hd = _heads_to_hd_xla(d_s_self, HD)                  # (G, N, HD)
+    nqf = nq.astype(f32)
+    nkf = nk.astype(f32)
+    dskb = (ds_self_hd * nqf).astype(skb.dtype)
+    dnq_self = ds_self_hd * (nkf + skb.astype(f32))
+    dnk_self = ds_self_hd * nqf
+
+    # ---- pass 2: d_s per edge -> dekb / dnq / dnk ------------------------
+    dekb_g, dnq_edges, dnk_edges = pl.pallas_call(
+        functools.partial(_bwd2_kernel, n_nodes=N, hd=HD, heads=heads),
+        grid=grid,
+        in_specs=[node_spec, node_spec, etile_spec, he_spec, he_spec,
+                  nh_spec, nh_spec, idx_spec, idx_spec, idx_spec],
+        out_specs=(etile_spec, node_spec, node_spec),
+        out_shape=(jax.ShapeDtypeStruct((G, E, HD), ekb.dtype),
+                   jax.ShapeDtypeStruct((G, N, HD), f32),
+                   jax.ShapeDtypeStruct((G, N, HD), f32)),
+        interpret=interpret,
+    )(nq, nk, ekb, e_edge, dalpha, scale, d_denom, src3, dst3, mask3)
+
+    dnq = (dnq_edges + dnq_self).astype(nq.dtype)
+    dnk = (dnk_edges + dnk_self).astype(nk.dtype)
+    dnm = (dnm_edges + d_msg_self).astype(nm.dtype)
+    return dnq, dnk, dnm, dekb_g, demb_g, dskb, dsmb
 
 
 # ---------------------------------------------------------------------------

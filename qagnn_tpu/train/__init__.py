@@ -13,6 +13,7 @@ from qagnn_tpu.train.step import (
     TrainState,
     accuracy,
     init_train_state,
+    make_detail_step,
     make_eval_step,
     make_train_step,
 )
@@ -21,5 +22,6 @@ __all__ = [
     "LOSSES", "cross_entropy_loss", "margin_rank_loss",
     "build_train_optimizer", "make_lr_schedule", "make_optimizer", "radam",
     "scale_by_radam_ref", "Batch", "TrainState", "accuracy",
-    "init_train_state", "make_eval_step", "make_train_step",
+    "init_train_state", "make_detail_step", "make_eval_step",
+    "make_train_step",
 ]

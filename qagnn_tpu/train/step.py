@@ -159,6 +159,23 @@ def make_eval_step(model, *, encoder_layer_id: int = -1):
     return eval_step
 
 
+def make_detail_step(model, *, encoder_layer_id: int = -1):
+    """Jitted detail eval (reference modeling/modeling_qagnn.py:236-241):
+    (logits (B, C), pooler attention, (edge_alphas (k, G, E, H),
+    self_alphas (k, G, N, H))). Graph tensors the reference echoes back
+    (concept_ids, node_types, edge_index, edge_type) are already in the
+    caller's BatchedGraphs."""
+
+    @jax.jit
+    def detail_step(params, batch_stats, lm_inputs, graph: BatchedGraphs):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            lm_inputs, graph, layer_id=encoder_layer_id, train=False,
+            detail=True)
+
+    return detail_step
+
+
 def accuracy(logits: Array, labels: Array) -> Array:
     """Fraction of questions whose argmax choice is the label
     (reference qagnn.py:30-38 evaluate_accuracy)."""

@@ -105,6 +105,13 @@ class TrainConfig:
     profile_num_steps: int = 5
 
     # gnn / decoder architecture (reference qagnn.py:58-69)
+    # sparse-attention backend for the GNN hot path: scatter | onehot |
+    # pallas | None (auto per platform, qagnn_tpu.ops.gat_attention)
+    gnn_backend: str | None = None
+    # GNN compute dtype: float32 | bfloat16 | auto (bfloat16 on TPU — the
+    # analog of the reference's fp16 amp, reference qagnn.py:232-234 and
+    # run_qagnn__csqa.sh:40 `--fp16 true`; float32 elsewhere)
+    gnn_dtype: str = "auto"
     k: int = 5
     att_head_num: int = 2                # pooler heads; GATConvE is 4 (hard)
     gnn_dim: int = 100
