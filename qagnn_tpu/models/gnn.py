@@ -32,9 +32,29 @@ import jax.numpy as jnp
 
 from qagnn_tpu.models.layers import gelu, normal_init
 from qagnn_tpu.models.norm import MaskedBatchNorm
-from qagnn_tpu.ops.gat_attention import relational_gat_attention_nodes
+from qagnn_tpu.ops.gat_attention import (
+    default_backend,
+    relational_gat_attention_nodes,
+)
 
 Array = jax.Array
+
+
+class _ProjParams(nn.Module):
+    """Bare Dense-shaped parameters (kernel + bias, same tree as nn.Dense)
+    for projections that execute INSIDE the fused Pallas kernel instead of
+    as an XLA GEMM. Keeps checkpoints interchangeable across backends."""
+
+    in_dim: int
+    out_dim: int
+    init_std: float
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", normal_init(self.init_std),
+                       (self.in_dim, self.out_dim))
+        b = self.param("bias", nn.initializers.zeros, (self.out_dim,))
+        return k, b
 
 
 class EdgeEncoder(nn.Module):
@@ -111,35 +131,62 @@ class GATConvE(nn.Module):
         query_d = nn.Dense(d, dtype=self.dtype,
                            kernel_init=normal_init(self.init_std),
                            name="query")
-        key_e_d = nn.Dense(d, dtype=self.dtype,
-                           kernel_init=normal_init(self.init_std),
-                           name="key_e")
-        msg_e_d = nn.Dense(d, dtype=self.dtype,
-                           kernel_init=normal_init(self.init_std),
-                           name="msg_e")
 
-        def heads(t):
-            return t.reshape(t.shape[:-1] + (h, dph))
+        backend = self.backend or default_backend()
+        if backend == "pallas" and not return_alpha:
+            # Fused path: the key_e/msg_e projections run INSIDE the Pallas
+            # kernels per edge tile (qagnn_tpu.ops.pallas_gat projected
+            # variant) — edge_emb is read once per pass instead of two
+            # (E, HD) bias arrays + their cotangents round-tripping HBM.
+            # Param tree matches the Dense path exactly (key_e/{kernel,bias}).
+            from qagnn_tpu.ops.pallas_gat import pallas_relational_gat_projected
 
-        node_key = heads(key_x_d(x))                    # (G, N, H, dph)
-        node_msg = heads(msg_x_d(x))
-        node_query = heads(query_d(x) / math.sqrt(dph))
+            e_in = edge_emb.shape[-1]
+            wke, bke = _ProjParams(e_in, d, self.init_std, name="key_e")()
+            wme, bme = _ProjParams(e_in, d, self.init_std, name="msg_e")()
+            cdt = self.dtype
 
-        edge_key_bias = heads(key_e_d(edge_emb))        # (G, E, H, dph)
-        edge_msg_bias = heads(msg_e_d(edge_emb))
-        # Self-loop rows use the SAME projections applied to the self-loop
-        # edge embedding (reference appends one self-loop per node, :436-438).
-        self_key_bias = heads(key_e_d(self_emb))        # (G, N, H, dph)
-        self_msg_bias = heads(msg_e_d(self_emb))
+            def proj(t, w, b):   # nn.Dense semantics: compute in cdt
+                return jnp.dot(t.astype(cdt), w.astype(cdt)) + b.astype(cdt)
 
-        aggr = relational_gat_attention_nodes(
-            node_query, node_key, node_msg,
-            edge_key_bias, edge_msg_bias, self_key_bias, self_msg_bias,
-            edge_src, edge_dst, edge_mask,
-            backend=self.backend, return_alpha=return_alpha,
-        )
-        if return_alpha:
-            aggr, alphas = aggr
+            nq = query_d(x) / math.sqrt(dph)            # (G, N, d)
+            aggr = pallas_relational_gat_projected(
+                nq, key_x_d(x), msg_x_d(x), edge_emb.astype(cdt),
+                wke, bke, wme, bme,
+                proj(self_emb, wke, bke), proj(self_emb, wme, bme),
+                edge_src, edge_dst, edge_mask.astype(nq.dtype), h,
+                jax.default_backend() != "tpu")
+        else:
+            key_e_d = nn.Dense(d, dtype=self.dtype,
+                               kernel_init=normal_init(self.init_std),
+                               name="key_e")
+            msg_e_d = nn.Dense(d, dtype=self.dtype,
+                               kernel_init=normal_init(self.init_std),
+                               name="msg_e")
+
+            def heads(t):
+                return t.reshape(t.shape[:-1] + (h, dph))
+
+            node_key = heads(key_x_d(x))                # (G, N, H, dph)
+            node_msg = heads(msg_x_d(x))
+            node_query = heads(query_d(x) / math.sqrt(dph))
+
+            edge_key_bias = heads(key_e_d(edge_emb))    # (G, E, H, dph)
+            edge_msg_bias = heads(msg_e_d(edge_emb))
+            # Self-loop rows use the SAME projections applied to the
+            # self-loop edge embedding (reference appends one self-loop per
+            # node, :436-438).
+            self_key_bias = heads(key_e_d(self_emb))    # (G, N, H, dph)
+            self_msg_bias = heads(msg_e_d(self_emb))
+
+            aggr = relational_gat_attention_nodes(
+                node_query, node_key, node_msg,
+                edge_key_bias, edge_msg_bias, self_key_bias, self_msg_bias,
+                edge_src, edge_dst, edge_mask,
+                backend=backend, return_alpha=return_alpha,
+            )
+            if return_alpha:
+                aggr, alphas = aggr
 
         # Output MLP: Linear -> BN -> ReLU -> Linear
         # (reference modeling/modeling_qagnn.py:408,443). The reference's BN

@@ -447,6 +447,384 @@ def _bwd_impl(nq, nk, nm, ekb, emb, skb, smb, src, dst, mask,
 
 
 # ---------------------------------------------------------------------------
+# projected variant: edge-side key/msg GEMMs folded INTO the kernels
+# ---------------------------------------------------------------------------
+#
+# The unprojected op takes precomputed per-edge biases ekb/emb (G, E, HD) —
+# two large HBM arrays written by XLA GEMMs, read by the kernels, with their
+# cotangents (dekb/demb) written back and consumed by XLA dW GEMMs. The
+# projected variant instead takes the shared edge embedding (G, E, D) ONCE
+# plus the two projection matrices, computes ekb/emb per tile on the MXU
+# in-kernel, and accumulates dW/db across the ENTIRE grid in VMEM (output
+# blocks with a constant index map — written to HBM once at the end).
+# Edge-sized HBM traffic drops ~3x: one (E, D) read per pass instead of
+# (E, HD) bias reads + (E, HD) cotangent writes + dW GEMM re-reads.
+
+
+def _scores_proj_kernel(nq_ref, nk_ref, emb_ref, wke_ref, bke_ref,
+                        src_ref, dst_ref, mask_ref, scores_ref,
+                        *, n_nodes, hd, heads):
+    f32 = jnp.float32
+    cdt = nq_ref.dtype
+    sel = _selector(hd, heads, f32)
+    oh_s, oh_d = _tile_onehots(src_ref, dst_ref, mask_ref, n_nodes, cdt)
+    ekb_t = jax.lax.dot_general(
+        emb_ref[0], wke_ref[...].astype(cdt),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32) + bke_ref[...].astype(f32)   # (T, HD)
+    eq = _gather(oh_s, nq_ref[0])
+    ek = _gather(oh_d, nk_ref[0]) + ekb_t
+    scores_ref[0] = jax.lax.dot_general(
+        sel, eq * ek, dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=f32)
+
+
+def _aggr_proj_kernel(nm_ref, emb_ref, wme_ref, bme_ref, ee_ref, scale_ref,
+                      src_ref, dst_ref, mask_ref, out_ref,
+                      *, n_nodes, hd, heads):
+    f32 = jnp.float32
+    cdt = nm_ref.dtype
+    sel = _selector(hd, heads, f32)
+    eye_h = _eye(heads, f32)
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    oh_s, oh_d = _tile_onehots(src_ref, dst_ref, mask_ref, n_nodes, cdt)
+    emb_bias = jax.lax.dot_general(
+        emb_ref[0], wme_ref[...].astype(cdt),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32) + bme_ref[...].astype(f32)
+    msg = _gather(oh_s, nm_ref[0]) + emb_bias                    # (T, HD)
+    scale_e = _gather_nh(oh_s, scale_ref[0])
+    alpha_th = _to_th(ee_ref[0], eye_h) * scale_e
+    w = (msg * _to_hd(alpha_th, sel)).astype(cdt)
+    out_ref[0] += _scatter(oh_d, w)
+
+
+def _bwd1_proj_kernel(gc_ref, nm_ref, emb_ref, wme_ref, bme_ref,
+                      ee_ref, scale_ref, src_ref, dst_ref, mask_ref,
+                      demb_ref, dalpha_ref, dscale_ref, dnm_ref,
+                      dwme_ref, dbme_ref, *, n_nodes, hd, heads):
+    """Pass 1 with in-kernel msg projection: d_msg -> (d_edge_emb part,
+    dW_me/db_me grid-accumulated, dnm scatter), d_alpha, d_scale."""
+    f32 = jnp.float32
+    cdt = nm_ref.dtype
+    sel = _selector(hd, heads, f32)
+    eye_h = _eye(heads, f32)
+    g_id = pl.program_id(0)
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        dscale_ref[0] = jnp.zeros_like(dscale_ref[0])
+        dnm_ref[0] = jnp.zeros_like(dnm_ref[0])
+
+    @pl.when((g_id == 0) & (t == 0))
+    def _():
+        dwme_ref[...] = jnp.zeros_like(dwme_ref[...])
+        dbme_ref[...] = jnp.zeros_like(dbme_ref[...])
+
+    oh_s, oh_d = _tile_onehots(src_ref, dst_ref, mask_ref, n_nodes, cdt)
+    emb_t = emb_ref[0]                                           # (T, D) cdt
+    g_dst = _gather(oh_d, gc_ref[0])                             # (T, HD)
+    emb_bias = jax.lax.dot_general(
+        emb_t, wme_ref[...].astype(cdt),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32) + bme_ref[...].astype(f32)
+    msg = _gather(oh_s, nm_ref[0]) + emb_bias
+    ee = ee_ref[0]
+    scale_src = _gather_nh(oh_s, scale_ref[0])
+    alpha_th = _to_th(ee, eye_h) * scale_src
+    d_msg = _to_hd(alpha_th, sel) * g_dst                        # (T, HD) f32
+    d_msg_c = d_msg.astype(cdt)
+    # d(edge_emb) via this path: d_msg @ W_me^T
+    demb_ref[0] = jax.lax.dot_general(
+        d_msg_c, wme_ref[...].astype(cdt),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32).astype(demb_ref.dtype)       # (T, D)
+    dwme_ref[...] += jax.lax.dot_general(
+        emb_t, d_msg_c, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=f32)                              # (D, HD)
+    dbme_ref[...] += jnp.sum(d_msg, axis=0, keepdims=True)       # (1, HD)
+    dnm_ref[0] += _scatter(oh_s, d_msg_c)
+    dalpha_ht = jax.lax.dot_general(
+        sel, msg * g_dst, dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=f32)
+    dalpha_ref[0] = dalpha_ht
+    dscale_ref[0] += jax.lax.dot_general(
+        oh_s.astype(f32), dalpha_ht * ee,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32)
+
+
+def _bwd2_proj_kernel(nq_ref, nk_ref, emb_ref, wke_ref, bke_ref,
+                      ee_ref, dalpha_ref, scale_ref, ddenom_ref,
+                      src_ref, dst_ref, mask_ref,
+                      demb_ref, dnq_ref, dnk_ref, dwke_ref, dbke_ref,
+                      *, n_nodes, hd, heads):
+    """Pass 2 with in-kernel key projection: d_s -> (d_edge_emb part,
+    dW_ke/db_ke grid-accumulated, dnq/dnk scatters)."""
+    f32 = jnp.float32
+    cdt = nq_ref.dtype
+    sel = _selector(hd, heads, f32)
+    eye_h = _eye(heads, f32)
+    g_id = pl.program_id(0)
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        dnq_ref[0] = jnp.zeros_like(dnq_ref[0])
+        dnk_ref[0] = jnp.zeros_like(dnk_ref[0])
+
+    @pl.when((g_id == 0) & (t == 0))
+    def _():
+        dwke_ref[...] = jnp.zeros_like(dwke_ref[...])
+        dbke_ref[...] = jnp.zeros_like(dbke_ref[...])
+
+    oh_s, oh_d = _tile_onehots(src_ref, dst_ref, mask_ref, n_nodes, cdt)
+    emb_t = emb_ref[0]
+    q_src = _gather(oh_s, nq_ref[0])
+    ekb_t = jax.lax.dot_general(
+        emb_t, wke_ref[...].astype(cdt),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32) + bke_ref[...].astype(f32)
+    key = _gather(oh_d, nk_ref[0]) + ekb_t
+    et_t = _to_th(ee_ref[0], eye_h)
+    dalpha_th = _to_th(dalpha_ref[0], eye_h)
+    scale_src = _gather_nh(oh_s, scale_ref[0])
+    dden_src = _gather_nh(oh_s, ddenom_ref[0])
+    d_s_th = (dalpha_th * scale_src + dden_src) * et_t
+    ds_hd = _to_hd(d_s_th, sel)
+    dekb = ds_hd * q_src                                         # (T, HD) f32
+    dekb_c = dekb.astype(cdt)
+    demb_ref[0] = jax.lax.dot_general(
+        dekb_c, wke_ref[...].astype(cdt),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32).astype(demb_ref.dtype)       # (T, D)
+    dwke_ref[...] += jax.lax.dot_general(
+        emb_t, dekb_c, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=f32)
+    dbke_ref[...] += jnp.sum(dekb, axis=0, keepdims=True)
+    dnq_ref[0] += _scatter(oh_s, (ds_hd * key).astype(cdt))
+    dnk_ref[0] += _scatter(oh_d, (ds_hd * q_src).astype(cdt))
+
+
+def _proj_fwd_impl(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
+                   src, dst, mask, heads, interpret):
+    G, N, HD = nq.shape
+    E = src.shape[1]
+    D = edge_emb.shape[2]
+    tile_e = min(TILE_E, E)
+    assert E % tile_e == 0, (E, tile_e)
+    f32 = jnp.float32
+    grid = (G, E // tile_e)
+
+    node_spec = pl.BlockSpec((1, N, HD), lambda g, t: (g, 0, 0),
+                             memory_space=pltpu.VMEM)
+    emb_spec = pl.BlockSpec((1, tile_e, D), lambda g, t: (g, t, 0),
+                            memory_space=pltpu.VMEM)
+    idx_spec = pl.BlockSpec((1, 1, tile_e), lambda g, t: (g, 0, t),
+                            memory_space=pltpu.VMEM)
+    he_spec = pl.BlockSpec((1, heads, tile_e), lambda g, t: (g, 0, t),
+                           memory_space=pltpu.VMEM)
+    nh_spec = pl.BlockSpec((1, N, heads), lambda g, t: (g, 0, 0),
+                           memory_space=pltpu.VMEM)
+    n1_spec = pl.BlockSpec((1, N, 1), lambda g, t: (g, 0, 0),
+                           memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((D, HD), lambda g, t: (0, 0),
+                          memory_space=pltpu.VMEM)
+    b_spec = pl.BlockSpec((1, HD), lambda g, t: (0, 0),
+                          memory_space=pltpu.VMEM)
+
+    src3, dst3, mask3 = src[:, None, :], dst[:, None, :], mask[:, None, :]
+    b_ke2, b_me2 = b_ke.reshape(1, HD), b_me.reshape(1, HD)
+
+    scores = pl.pallas_call(
+        functools.partial(_scores_proj_kernel, n_nodes=N, hd=HD, heads=heads),
+        grid=grid,
+        in_specs=[node_spec, node_spec, emb_spec, w_spec, b_spec,
+                  idx_spec, idx_spec, idx_spec],
+        out_specs=he_spec,
+        out_shape=jax.ShapeDtypeStruct((G, heads, E), f32),
+        interpret=interpret,
+    )(nq, nk, edge_emb, w_ke, b_ke2, src3, dst3, mask3)
+
+    self_scores = _head_sum_xla(
+        nq.astype(f32) * (nk + skb).astype(f32), heads)
+    mask_f = mask.astype(f32)[:, None, :]
+    masked_scores = jnp.where(mask_f > 0, scores, _NEG)
+    gmax = jnp.maximum(jnp.max(masked_scores, axis=2),
+                       jnp.max(self_scores, axis=1))
+    gmax = jax.lax.stop_gradient(gmax)
+    e_edge = jnp.exp(scores - gmax[:, :, None]) * mask_f
+    e_self = jnp.exp(self_scores - gmax[:, None, :])
+
+    denom_edges, deg = pl.pallas_call(
+        functools.partial(_denom_kernel, n_nodes=N, heads=heads),
+        grid=grid,
+        in_specs=[idx_spec, idx_spec, idx_spec, he_spec],
+        out_specs=(nh_spec, n1_spec),
+        out_shape=(jax.ShapeDtypeStruct((G, N, heads), f32),
+                   jax.ShapeDtypeStruct((G, N, 1), f32)),
+        interpret=interpret,
+    )(src3, dst3, mask3, e_edge)
+
+    denom_raw = denom_edges + e_self
+    scale = (deg + 1.0) / jnp.maximum(denom_raw, _DENOM_EPS)
+
+    out_edges = pl.pallas_call(
+        functools.partial(_aggr_proj_kernel, n_nodes=N, hd=HD, heads=heads),
+        grid=grid,
+        in_specs=[node_spec, emb_spec, w_spec, b_spec, he_spec, nh_spec,
+                  idx_spec, idx_spec, idx_spec],
+        out_specs=node_spec,
+        out_shape=jax.ShapeDtypeStruct((G, N, HD), f32),
+        interpret=interpret,
+    )(nm, edge_emb, w_me, b_me2, e_edge, scale, src3, dst3, mask3)
+
+    self_alpha = e_self * scale
+    sm_full = (nm + smb).astype(f32)
+    out = out_edges + sm_full * _heads_to_hd_xla(self_alpha, HD)
+    return out, e_edge, denom_raw, scale, e_self
+
+
+def _proj_bwd_impl(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
+                   src, dst, mask, e_edge, denom_raw, scale, e_self, g,
+                   heads, interpret):
+    G, N, HD = nq.shape
+    E = src.shape[1]
+    D = edge_emb.shape[2]
+    tile_e = min(TILE_E, E)
+    assert E % tile_e == 0, (E, tile_e)
+    f32 = jnp.float32
+    cdt = nq.dtype
+    grid = (G, E // tile_e)
+
+    node_spec = pl.BlockSpec((1, N, HD), lambda g_, t: (g_, 0, 0),
+                             memory_space=pltpu.VMEM)
+    emb_spec = pl.BlockSpec((1, tile_e, D), lambda g_, t: (g_, t, 0),
+                            memory_space=pltpu.VMEM)
+    idx_spec = pl.BlockSpec((1, 1, tile_e), lambda g_, t: (g_, 0, t),
+                            memory_space=pltpu.VMEM)
+    he_spec = pl.BlockSpec((1, heads, tile_e), lambda g_, t: (g_, 0, t),
+                           memory_space=pltpu.VMEM)
+    nh_spec = pl.BlockSpec((1, N, heads), lambda g_, t: (g_, 0, 0),
+                           memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((D, HD), lambda g_, t: (0, 0),
+                          memory_space=pltpu.VMEM)
+    b_spec = pl.BlockSpec((1, HD), lambda g_, t: (0, 0),
+                          memory_space=pltpu.VMEM)
+
+    src3, dst3, mask3 = src[:, None, :], dst[:, None, :], mask[:, None, :]
+    b_ke2, b_me2 = b_ke.reshape(1, HD), b_me.reshape(1, HD)
+
+    # dense self-loop cotangents (XLA)
+    alpha_self = e_self * scale
+    d_msg_self = _heads_to_hd_xla(alpha_self, HD) * g
+    dsmb = d_msg_self.astype(smb.dtype)
+    msg_self = (nm + smb).astype(f32)
+    d_alpha_self = _head_sum_xla(msg_self * g, heads)
+
+    gc = g.astype(cdt)
+    demb_m, dalpha, dscale_edges, dnm_edges, dw_me, db_me2 = pl.pallas_call(
+        functools.partial(_bwd1_proj_kernel, n_nodes=N, hd=HD, heads=heads),
+        grid=grid,
+        in_specs=[node_spec, node_spec, emb_spec, w_spec, b_spec,
+                  he_spec, nh_spec, idx_spec, idx_spec, idx_spec],
+        out_specs=(emb_spec, he_spec, nh_spec, node_spec, w_spec, b_spec),
+        out_shape=(jax.ShapeDtypeStruct((G, E, D), edge_emb.dtype),
+                   jax.ShapeDtypeStruct((G, heads, E), f32),
+                   jax.ShapeDtypeStruct((G, N, heads), f32),
+                   jax.ShapeDtypeStruct((G, N, HD), f32),
+                   jax.ShapeDtypeStruct((D, HD), f32),
+                   jax.ShapeDtypeStruct((1, HD), f32)),
+        interpret=interpret,
+    )(gc, nm, edge_emb, w_me, b_me2, e_edge, scale, src3, dst3, mask3)
+
+    dscale = dscale_edges + d_alpha_self * e_self
+    denom_c = jnp.maximum(denom_raw, _DENOM_EPS)
+    gate = (denom_raw > _DENOM_EPS).astype(f32)
+    d_denom = -(scale / denom_c) * dscale * gate
+    d_e_self = d_alpha_self * scale + d_denom
+    d_s_self = d_e_self * e_self
+    ds_self_hd = _heads_to_hd_xla(d_s_self, HD)
+    nqf = nq.astype(f32)
+    nkf = nk.astype(f32)
+    dskb = (ds_self_hd * nqf).astype(skb.dtype)
+    dnq_self = ds_self_hd * (nkf + skb.astype(f32))
+    dnk_self = ds_self_hd * nqf
+
+    demb_k, dnq_edges, dnk_edges, dw_ke, db_ke2 = pl.pallas_call(
+        functools.partial(_bwd2_proj_kernel, n_nodes=N, hd=HD, heads=heads),
+        grid=grid,
+        in_specs=[node_spec, node_spec, emb_spec, w_spec, b_spec,
+                  he_spec, he_spec, nh_spec, nh_spec,
+                  idx_spec, idx_spec, idx_spec],
+        out_specs=(emb_spec, node_spec, node_spec, w_spec, b_spec),
+        out_shape=(jax.ShapeDtypeStruct((G, E, D), edge_emb.dtype),
+                   jax.ShapeDtypeStruct((G, N, HD), f32),
+                   jax.ShapeDtypeStruct((G, N, HD), f32),
+                   jax.ShapeDtypeStruct((D, HD), f32),
+                   jax.ShapeDtypeStruct((1, HD), f32)),
+        interpret=interpret,
+    )(nq, nk, edge_emb, w_ke, b_ke2, e_edge, dalpha, scale, d_denom,
+      src3, dst3, mask3)
+
+    dnq = (dnq_edges + dnq_self).astype(nq.dtype)
+    dnk = (dnk_edges + dnk_self).astype(nk.dtype)
+    dnm = (dnm_edges + d_msg_self).astype(nm.dtype)
+    d_edge_emb = (demb_m.astype(f32) + demb_k.astype(f32)) \
+        .astype(edge_emb.dtype)
+    return (dnq, dnk, dnm, d_edge_emb,
+            dw_ke.astype(w_ke.dtype), db_ke2.reshape(-1).astype(b_ke.dtype),
+            dw_me.astype(w_me.dtype), db_me2.reshape(-1).astype(b_me.dtype),
+            dskb, dsmb)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14))
+def pallas_relational_gat_projected(nq, nk, nm, edge_emb, w_ke, b_ke,
+                                    w_me, b_me, skb, smb, src, dst, mask,
+                                    heads, interpret=False):
+    """Fused sparse attention core with in-kernel edge-bias projections.
+
+    edge_emb: (G, E, D) shared edge embeddings; w_ke/b_ke, w_me/b_me:
+    the key_e / msg_e projection parameters ((D, HD) / (HD,)) applied
+    per edge tile on the MXU inside the kernels. Other args as
+    pallas_relational_gat. skb/smb are the ALREADY-projected self-loop
+    biases (the caller projects self_emb with the same parameters in XLA;
+    JAX sums the parameter cotangents across both uses).
+    """
+    return _proj_fwd_impl(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me,
+                          skb, smb, src, dst, mask, heads, interpret)[0]
+
+
+def _proj_vjp_fwd(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
+                  src, dst, mask, heads, interpret):
+    out, e_edge, denom_raw, scale, e_self = _proj_fwd_impl(
+        nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
+        src, dst, mask, heads, interpret)
+    return out, (nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
+                 src, dst, mask, e_edge, denom_raw, scale, e_self)
+
+
+def _proj_vjp_bwd(heads, interpret, residuals, g):
+    (nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
+     src, dst, mask, e_edge, denom_raw, scale, e_self) = residuals
+    grads = _proj_bwd_impl(
+        nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
+        src, dst, mask, e_edge, denom_raw, scale, e_self,
+        g.astype(jnp.float32), heads, interpret)
+    zero_i = lambda x: np.zeros(x.shape, jax.dtypes.float0)
+    return grads + (zero_i(src), zero_i(dst), jnp.zeros_like(mask))
+
+
+pallas_relational_gat_projected.defvjp(_proj_vjp_fwd, _proj_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
 # custom-VJP wrapper
 # ---------------------------------------------------------------------------
 

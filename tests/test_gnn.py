@@ -290,3 +290,46 @@ def test_onehot_backend_gradients_match_scatter(setup):
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=5e-5)
+
+
+def test_pallas_backend_matches_scatter_backend(setup):
+    """The fused Pallas path (projected variant through GATConvE, interpret
+    mode on CPU) must agree with the scatter path USING THE SAME PARAMS —
+    also proves the _ProjParams tree is Dense-compatible."""
+    mp, variables, graph, H = setup
+    mp_pl = QAGNNMessagePassing(k=K, n_ntype=N_NTYPE, n_etype=N_ETYPE,
+                                hidden_size=D, dropout=0.0, head_count=HEADS,
+                                backend="pallas")
+    mp_sc = QAGNNMessagePassing(k=K, n_ntype=N_NTYPE, n_etype=N_ETYPE,
+                                hidden_size=D, dropout=0.0, head_count=HEADS,
+                                backend="scatter")
+    args = (jnp.asarray(H), graph.node_types, graph.node_scores,
+            graph.edge_src, graph.edge_dst, graph.edge_type, graph.edge_mask)
+    a = mp_pl.apply(variables, *args, train=False)
+    b = mp_sc.apply(variables, *args, train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_backend_gradients_match_scatter(setup):
+    mp, variables, graph, H = setup
+
+    def loss(params, backend):
+        m = QAGNNMessagePassing(k=K, n_ntype=N_NTYPE, n_etype=N_ETYPE,
+                                hidden_size=D, dropout=0.0, head_count=HEADS,
+                                backend=backend)
+        out = m.apply({"params": params,
+                       "batch_stats": variables["batch_stats"]},
+                      jnp.asarray(H), graph.node_types, graph.node_scores,
+                      graph.edge_src, graph.edge_dst, graph.edge_type,
+                      graph.edge_mask, train=False)
+        return jnp.sum(out ** 2)
+
+    g1 = jax.grad(loss)(variables["params"], "pallas")
+    g2 = jax.grad(loss)(variables["params"], "scatter")
+    flat1 = jax.tree_util.tree_flatten_with_path(g1)[0]
+    flat2 = jax.tree.leaves(g2)
+    for (path, a), b in zip(flat1, flat2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4,
+            err_msg=jax.tree_util.keystr(path))

@@ -6,7 +6,10 @@ import jax.numpy as jnp
 import pytest
 
 from qagnn_tpu.ops.gat_attention import relational_gat_attention_nodes
-from qagnn_tpu.ops.pallas_gat import pallas_relational_gat
+from qagnn_tpu.ops.pallas_gat import (
+    pallas_relational_gat,
+    pallas_relational_gat_projected,
+)
 
 G, N, E, HD, HEADS = 3, 8, 16, 8, 2
 DPH = HD // HEADS
@@ -119,6 +122,97 @@ def test_fused_kernel_bf16_gradient_drift(inputs):
         denom = np.maximum(np.abs(b).max(), 1e-6)
         rel = np.abs(a - b).max() / denom
         assert rel < 0.05, f"bf16 gradient drift {rel:.4f} exceeds 5%"
+
+
+@pytest.fixture(scope="module")
+def proj_inputs(inputs):
+    """Inputs for the projected variant: shared edge embedding + the key_e /
+    msg_e projection parameters applied in-kernel."""
+    rng = np.random.default_rng(7)
+    f = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32)
+    nq, nk, nm = inputs[0], inputs[1], inputs[2]
+    D_IN = 8
+    edge_emb = f(G, E, D_IN)
+    self_emb = f(G, N, D_IN)
+    w_ke, b_ke = f(D_IN, HD), f(HD)
+    w_me, b_me = f(D_IN, HD), f(HD)
+    return (nq, nk, nm, edge_emb, self_emb, w_ke, b_ke, w_me, b_me)
+
+
+def _proj_oracle(proj_inputs, tail):
+    """Scatter-backend oracle with the projections done in plain XLA."""
+    nq, nk, nm, edge_emb, self_emb, w_ke, b_ke, w_me, b_me = proj_inputs
+    src, dst, mask = tail
+    ekb = edge_emb @ w_ke + b_ke
+    emb = edge_emb @ w_me + b_me
+    skb = self_emb @ w_ke + b_ke
+    smb = self_emb @ w_me + b_me
+
+    def r(t):
+        return t.reshape(t.shape[0], t.shape[1], HEADS, DPH)
+
+    return relational_gat_attention_nodes(
+        r(nq), r(nk), r(nm), r(ekb), r(emb), r(skb), r(smb),
+        src, dst, mask > 0, backend="scatter")
+
+
+def _proj_call(proj_inputs, tail):
+    nq, nk, nm, edge_emb, self_emb, w_ke, b_ke, w_me, b_me = proj_inputs
+    src, dst, mask = tail
+    skb = self_emb @ w_ke + b_ke
+    smb = self_emb @ w_me + b_me
+    return pallas_relational_gat_projected(
+        nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
+        src, dst, mask, HEADS, True)
+
+
+def test_projected_kernel_matches_oracle(inputs, proj_inputs):
+    tail = inputs[7:]
+    got = _proj_call(proj_inputs, tail)
+    want = _proj_oracle(proj_inputs, tail)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_projected_kernel_gradients(inputs, proj_inputs):
+    """All cotangents: node projections, edge_emb, W/b of both in-kernel
+    projections (grid-accumulated), self biases via the dual-use params."""
+    tail = inputs[7:]
+
+    def loss_fused(args):
+        return jnp.sum(_proj_call(args, tail) ** 2)
+
+    def loss_oracle(args):
+        return jnp.sum(_proj_oracle(args, tail) ** 2)
+
+    g1 = jax.grad(loss_fused)(proj_inputs)
+    g2 = jax.grad(loss_oracle)(proj_inputs)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_projected_kernel_multi_tile(inputs, proj_inputs, monkeypatch):
+    import qagnn_tpu.ops.pallas_gat as pg
+    monkeypatch.setattr(pg, "TILE_E", 4)
+    tail = inputs[7:]
+
+    got = _proj_call(proj_inputs, tail)
+    want = _proj_oracle(proj_inputs, tail)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+    def loss_fused(args):
+        return jnp.sum(_proj_call(args, tail) ** 2)
+
+    def loss_oracle(args):
+        return jnp.sum(_proj_oracle(args, tail) ** 2)
+
+    g1 = jax.grad(loss_fused)(proj_inputs)
+    g2 = jax.grad(loss_oracle)(proj_inputs)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
 
 
 def test_fused_kernel_gradients_all_edges_masked(inputs):
