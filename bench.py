@@ -153,7 +153,18 @@ def run_gnn(args, mesh):
 
     inputs = (node_type, node_score, edge_src, edge_dst, edge_type, edge_mask)
     H = place(H, mesh)
-    inputs = place(inputs, mesh)
+    if mesh is not None and mesh.shape.get("model", 1) > 1:
+        # edge partitioning (SURVEY §7 step 8): (G, E) arrays shard E over
+        # `model`; node arrays stay data-sharded/model-replicated. GSPMD
+        # lowers the cross-shard softmax/aggregation sums to psums.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        edge_s = NamedSharding(mesh, P("data", "model"))
+        node_s = NamedSharding(mesh, P("data"))
+        inputs = tuple(
+            jax.device_put(x, edge_s if x.shape[1] == E else node_s)
+            for x in inputs)
+    else:
+        inputs = place(inputs, mesh)
     variables = replicate(variables, mesh)
 
     def loss_fn(params, H, batch_stats, dkey):

@@ -1,5 +1,9 @@
-"""Capture a profiler trace of the bench train step on the TPU."""
-import time
+"""Capture a profiler trace of the bench train step on the TPU.
+
+Usage: python profile_step.py [--backend onehot|scatter|pallas]
+                              [--trace-dir DIR]
+"""
+import argparse
 import numpy as np
 import jax, jax.numpy as jnp
 import jax.tree_util as jtu
@@ -8,6 +12,11 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/qagnn_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from qagnn_tpu.models.gnn import QAGNNMessagePassing
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--backend", default="onehot")
+ap.add_argument("--trace-dir", default="/tmp/qagnn_prof")
+cli_args = ap.parse_args()
 
 G, N, E, D, K = 64, 200, 4096, 200, 5
 rng = np.random.default_rng(0)
@@ -20,7 +29,7 @@ edge_type = jnp.asarray(rng.integers(0, 38, (G, E)), jnp.int32)
 edge_mask = jnp.ones((G, E), bool)
 
 model = QAGNNMessagePassing(k=K, n_ntype=4, n_etype=38, hidden_size=D,
-                            dropout=0.2, backend="onehot",
+                            dropout=0.2, backend=cli_args.backend,
                             dtype=jnp.bfloat16)
 variables = model.init(jax.random.PRNGKey(0), H, node_type, node_score,
                        edge_src, edge_dst, edge_type, edge_mask, train=False)
@@ -48,7 +57,7 @@ p, x, bs = variables["params"], H, variables["batch_stats"]
 p, x, bs, loss = step(p, x, bs, 0)
 print("warm", float(loss), flush=True)
 
-jax.profiler.start_trace("/tmp/qagnn_prof", create_perfetto_trace=True)
+jax.profiler.start_trace(cli_args.trace_dir, create_perfetto_trace=True)
 for i in range(1, 4):
     p, x, bs, loss = step(p, x, bs, i)
 print("traced", float(loss), flush=True)
