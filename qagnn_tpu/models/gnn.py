@@ -71,17 +71,19 @@ class EdgeEncoder(nn.Module):
     hidden_size: int
     num_updates: int = 1  # k, for running-stat parity with k reference calls
     init_std: float = 0.02
+    dtype: jnp.dtype = jnp.float32   # compute dtype (bf16 on the TPU hot
+                                     # path; BN stats stay f32 internally)
 
     @nn.compact
     def __call__(self, edge_feat: Array, weight: Array, *, train: bool) -> Array:
         x = nn.Dense(self.hidden_size, kernel_init=normal_init(self.init_std),
-                     name="linear_0")(edge_feat)
+                     dtype=self.dtype, name="linear_0")(edge_feat)
         x = MaskedBatchNorm(features=self.hidden_size,
                             num_updates=self.num_updates, name="bn")(
             x, weight, use_running_average=not train)
         x = jax.nn.relu(x)
         x = nn.Dense(self.hidden_size, kernel_init=normal_init(self.init_std),
-                     name="linear_1")(x)
+                     dtype=self.dtype, name="linear_1")(x)
         return x
 
 
@@ -282,8 +284,9 @@ class QAGNNMessagePassing(nn.Module):
             [edge_mask.reshape(-1).astype(H.dtype),
              jnp.ones((G * N,), H.dtype)], axis=0)
         all_emb = EdgeEncoder(hidden_size=D, num_updates=self.k,
-                              init_std=self.init_std, name="edge_encoder")(
-            all_feat, all_weight, train=train)
+                              init_std=self.init_std, dtype=self.dtype,
+                              name="edge_encoder")(
+            all_feat.astype(self.dtype), all_weight, train=train)
         edge_emb = all_emb[: G * E].reshape(G, E, D)
         self_emb = all_emb[G * E:].reshape(G, N, D)
 

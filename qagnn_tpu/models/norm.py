@@ -56,6 +56,12 @@ class MaskedBatchNorm(nn.Module):
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones(self.features, jnp.float32))
 
+        # Statistics and normalization always run in f32 — a bf16 hot path
+        # (the reference's fp16 amp keeps BN in fp32 the same way,
+        # reference qagnn.py:232-234) must not degrade the moments. For
+        # f32 inputs the casts are no-ops, so parity tests are unchanged.
+        in_dtype = x.dtype
+        x = x.astype(jnp.float32)
         if use_ra:
             mean, var = ra_mean.value, ra_var.value
         else:
@@ -77,4 +83,4 @@ class MaskedBatchNorm(nn.Module):
                 ra_var.value = decay * ra_var.value + blend * unbiased
 
         inv = jax.lax.rsqrt(var + self.eps)
-        return (x - mean) * inv * scale + bias
+        return ((x - mean) * inv * scale + bias).astype(in_dtype)

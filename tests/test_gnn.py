@@ -333,3 +333,31 @@ def test_pallas_backend_gradients_match_scatter(setup):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4,
             err_msg=jax.tree_util.keystr(path))
+
+
+def test_edge_encoder_bf16_close_to_f32():
+    """The bf16 hot-path EdgeEncoder must track the f32 one closely: BN
+    statistics stay f32 internally, so drift is bounded by the bf16
+    rounding of the Dense outputs."""
+    from qagnn_tpu.models.gnn import EdgeEncoder
+
+    rng = np.random.default_rng(0)
+    feat = jnp.asarray(rng.standard_normal((64, 15)), jnp.float32)
+    w = jnp.asarray(rng.random(64) > 0.3, jnp.float32)
+
+    enc32 = EdgeEncoder(hidden_size=16, num_updates=2)
+    v = enc32.init(jax.random.PRNGKey(0), feat, w, train=False)
+    out32, upd32 = enc32.apply(v, feat, w, train=True,
+                               mutable=["batch_stats"])
+
+    enc16 = EdgeEncoder(hidden_size=16, num_updates=2, dtype=jnp.bfloat16)
+    out16, upd16 = enc16.apply(v, feat.astype(jnp.bfloat16), w, train=True,
+                               mutable=["batch_stats"])
+
+    assert out16.dtype == jnp.bfloat16
+    scale = float(jnp.abs(out32).max())
+    assert float(jnp.abs(out16.astype(jnp.float32) - out32).max()) < 0.05 * scale
+    for a, b in zip(jax.tree.leaves(upd16), jax.tree.leaves(upd32)):
+        assert a.dtype == jnp.float32   # running stats stay f32
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-2, atol=3e-2)
