@@ -61,6 +61,9 @@ def parse_args():
                     help="long-run iteration count (short run = iters//5)")
     ap.add_argument("--small", action="store_true",
                     help="tiny shapes for a quick smoke run")
+    ap.add_argument("--edges", type=int, default=None,
+                    help="override E (edge budget per graph); e.g. a tiny E "
+                    "isolates the step's non-edge-op cost")
     ap.add_argument("--eval", action="store_true",
                     help="bench train=False (no BN update / dropout)")
     ap.add_argument("--mode", default="gnn", choices=["gnn", "driver"])
@@ -79,9 +82,10 @@ def parse_args():
 
 
 def shapes(args):
-    if args.small:
-        return 4, 16, 64, 32, 2
-    return 64, 200, 4096, 200, 5
+    G, N, E, D, K = (4, 16, 64, 32, 2) if args.small else (64, 200, 4096, 200, 5)
+    if args.edges:
+        E = args.edges
+    return G, N, E, D, K
 
 
 def make_mesh_or_none(mesh_arg):

@@ -141,7 +141,10 @@ class GATConvE(nn.Module):
             # variant) — edge_emb is read once per pass instead of two
             # (E, HD) bias arrays + their cotangents round-tripping HBM.
             # Param tree matches the Dense path exactly (key_e/{kernel,bias}).
-            from qagnn_tpu.ops.pallas_gat import pallas_relational_gat_projected
+            from qagnn_tpu.ops.pallas_gat import (
+                pad_edges_to_tile,
+                pallas_relational_gat_projected,
+            )
 
             e_in = edge_emb.shape[-1]
             wke, bke = _ProjParams(e_in, d, self.init_std, name="key_e")()
@@ -152,11 +155,14 @@ class GATConvE(nn.Module):
                 return jnp.dot(t.astype(cdt), w.astype(cdt)) + b.astype(cdt)
 
             nq = query_d(x) / math.sqrt(dph)            # (G, N, d)
+            _, src_p, dst_p, mask_p, emb_p = pad_edges_to_tile(
+                edge_src, edge_dst, edge_mask.astype(nq.dtype),
+                edge_emb.astype(cdt), dtype=nq.dtype)
             aggr = pallas_relational_gat_projected(
-                nq, key_x_d(x), msg_x_d(x), edge_emb.astype(cdt),
+                nq, key_x_d(x), msg_x_d(x), emb_p,
                 wke, bke, wme, bme,
                 proj(self_emb, wke, bke), proj(self_emb, wme, bme),
-                edge_src, edge_dst, edge_mask.astype(nq.dtype), h,
+                src_p, dst_p, mask_p, h,
                 jax.default_backend() != "tpu")
         else:
             key_e_d = nn.Dense(d, dtype=self.dtype,
@@ -261,17 +267,21 @@ class QAGNNMessagePassing(nn.Module):
         # Features: [one_hot(rel, n_etype+1) ‖ one_hot(head_t,4) ‖ one_hot(tail_t,4)]
         # (reference :419-433); self-loops use relation index n_etype and
         # head==tail==own type (reference :420-421,428-429).
+        # One-hot features are exact in any float dtype — build them directly
+        # in the compute dtype so the (G*E, 47) feature block never
+        # materializes at f32 on the bf16 hot path.
+        fdt = self.dtype
         E = edge_src.shape[1]
-        e_rel = jax.nn.one_hot(edge_type, self.n_etype + 1, dtype=H.dtype)
+        e_rel = jax.nn.one_hot(edge_type, self.n_etype + 1, dtype=fdt)
         head_t = jnp.take_along_axis(node_type, edge_src, axis=1)
         tail_t = jnp.take_along_axis(node_type, edge_dst, axis=1)
-        e_head = jax.nn.one_hot(head_t, self.n_ntype, dtype=H.dtype)
-        e_tail = jax.nn.one_hot(tail_t, self.n_ntype, dtype=H.dtype)
+        e_head = jax.nn.one_hot(head_t, self.n_ntype, dtype=fdt)
+        e_tail = jax.nn.one_hot(tail_t, self.n_ntype, dtype=fdt)
         edge_feat = jnp.concatenate([e_rel, e_head, e_tail], axis=-1)
 
-        s_rel = jnp.zeros((G, N, self.n_etype + 1), H.dtype) \
+        s_rel = jnp.zeros((G, N, self.n_etype + 1), fdt) \
             .at[:, :, self.n_etype].set(1.0)
-        s_type = jax.nn.one_hot(node_type, self.n_ntype, dtype=H.dtype)
+        s_type = jax.nn.one_hot(node_type, self.n_ntype, dtype=fdt)
         self_feat = jnp.concatenate([s_rel, s_type, s_type], axis=-1)
 
         # One BN over the union of (masked) edge rows and all self-loop rows,
@@ -286,7 +296,7 @@ class QAGNNMessagePassing(nn.Module):
         all_emb = EdgeEncoder(hidden_size=D, num_updates=self.k,
                               init_std=self.init_std, dtype=self.dtype,
                               name="edge_encoder")(
-            all_feat.astype(self.dtype), all_weight, train=train)
+            all_feat, all_weight, train=train)
         edge_emb = all_emb[: G * E].reshape(G, E, D)
         self_emb = all_emb[G * E:].reshape(G, N, D)
 

@@ -56,24 +56,27 @@ class MaskedBatchNorm(nn.Module):
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones(self.features, jnp.float32))
 
-        # Statistics and normalization always run in f32 — a bf16 hot path
-        # (the reference's fp16 amp keeps BN in fp32 the same way,
-        # reference qagnn.py:232-234) must not degrade the moments. For
-        # f32 inputs the casts are no-ops, so parity tests are unchanged.
+        # Statistics always accumulate in f32 — a bf16 hot path (the
+        # reference's fp16 amp keeps BN in fp32 the same way, reference
+        # qagnn.py:232-234) must not degrade the moments. The f32 casts fuse
+        # into the reductions (no (rows, features) f32 materialization);
+        # the final normalize runs in the INPUT dtype so the big edge-row
+        # arrays never round-trip HBM at f32. All no-ops for f32 inputs.
         in_dtype = x.dtype
-        x = x.astype(jnp.float32)
+        x32 = x.astype(jnp.float32)
         if use_ra:
             mean, var = ra_mean.value, ra_var.value
         else:
             if weight is None:
                 n = jnp.asarray(x.shape[0], jnp.float32)
-                mean = jnp.mean(x, axis=0)
-                var = jnp.mean(jnp.square(x - mean), axis=0)
+                mean = jnp.mean(x32, axis=0)
+                var = jnp.mean(jnp.square(x32 - mean), axis=0)
             else:
                 w = weight.astype(jnp.float32)
                 n = jnp.maximum(jnp.sum(w), 1.0)
-                mean = jnp.sum(x * w[:, None], axis=0) / n
-                var = jnp.sum(jnp.square(x - mean) * w[:, None], axis=0) / n
+                mean = jnp.sum(x32 * w[:, None], axis=0) / n
+                var = jnp.sum(jnp.square(x32 - mean) * w[:, None],
+                              axis=0) / n
 
             if not self.is_initializing():
                 unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
@@ -83,4 +86,10 @@ class MaskedBatchNorm(nn.Module):
                 ra_var.value = decay * ra_var.value + blend * unbiased
 
         inv = jax.lax.rsqrt(var + self.eps)
-        return ((x - mean) * inv * scale + bias).astype(in_dtype)
+        if in_dtype == jnp.float32:   # torch-parity form, bit-identical
+            return (x32 - mean) * inv * scale + bias
+        # low-precision inputs: fold (inv, scale, mean, bias) into one
+        # per-feature scale/shift applied in the input dtype
+        a = (inv * scale).astype(in_dtype)
+        b = (bias - mean * inv * scale).astype(in_dtype)
+        return x * a + b

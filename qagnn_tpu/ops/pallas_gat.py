@@ -61,9 +61,42 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
+# 2048 is the VMEM sweet spot: kernel-body intermediates (eq/ek/msg tiles)
+# are f32 at (T, HD) — T=4096 overflows the 16 MB scoped vmem stack by the
+# scores kernel alone (measured on v5e: 16.05M > 16M).
 TILE_E = 2048
 _DENOM_EPS = 1e-16
 _NEG = -1e30
+
+
+def _tile_for(n_edges: int, dtype) -> int:
+    """Edge-tile size: big tiles amortize Mosaic per-program overhead; f32
+    operands halve the budget to stay within scoped VMEM."""
+    base = TILE_E if jnp.dtype(dtype).itemsize < 4 else TILE_E // 2
+    if n_edges <= base:
+        return n_edges
+    for t in (base, base // 2, base // 4, base // 8):
+        if n_edges % t == 0:
+            return t
+    return base // 8
+
+
+def pad_edges_to_tile(src, dst, mask, *edge_arrays, dtype):
+    """Pad the edge axis so the tile divides it evenly (masked slots are
+    inert: zero one-hot columns). Returns (tile, padded arrays...)."""
+    E = src.shape[1]
+    t = _tile_for(E, dtype)
+    E_pad = -(-E // t) * t
+    if E_pad == E:
+        return (t, src, dst, mask) + edge_arrays
+    pad = E_pad - E
+
+    def padE(x, value=0):
+        widths = [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 2)
+        return jnp.pad(x, widths, constant_values=value)
+
+    return (t, padE(src), padE(dst), padE(mask)) + tuple(
+        padE(a) for a in edge_arrays)
 
 
 def _selector(hd: int, h: int, dtype):
@@ -212,7 +245,7 @@ def _fwd_impl(nq, nk, nm, ekb, emb, skb, smb, src, dst, mask, heads,
     """Returns (out, e_edge, denom_raw, scale, e_self)."""
     G, N, HD = nq.shape
     E = src.shape[1]
-    tile_e = min(TILE_E, E)
+    tile_e = _tile_for(E, nq.dtype)
     assert E % tile_e == 0, (E, tile_e)
     n_tiles = E // tile_e
     f32 = jnp.float32
@@ -371,7 +404,7 @@ def _bwd_impl(nq, nk, nm, ekb, emb, skb, smb, src, dst, mask,
     """
     G, N, HD = nq.shape
     E = src.shape[1]
-    tile_e = min(TILE_E, E)
+    tile_e = _tile_for(E, nq.dtype)
     assert E % tile_e == 0, (E, tile_e)
     n_tiles = E // tile_e
     f32 = jnp.float32
@@ -617,7 +650,7 @@ def _proj_fwd_impl(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
     G, N, HD = nq.shape
     E = src.shape[1]
     D = edge_emb.shape[2]
-    tile_e = min(TILE_E, E)
+    tile_e = _tile_for(E, nq.dtype)
     assert E % tile_e == 0, (E, tile_e)
     f32 = jnp.float32
     grid = (G, E // tile_e)
@@ -697,7 +730,7 @@ def _proj_bwd_impl(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
     G, N, HD = nq.shape
     E = src.shape[1]
     D = edge_emb.shape[2]
-    tile_e = min(TILE_E, E)
+    tile_e = _tile_for(E, nq.dtype)
     assert E % tile_e == 0, (E, tile_e)
     f32 = jnp.float32
     cdt = nq.dtype

@@ -238,3 +238,42 @@ def test_fused_kernel_gradients_all_edges_masked(inputs):
     # edge-bias cotangents are exactly zero for padded edges
     np.testing.assert_array_equal(np.asarray(g1[3]), 0.0)
     np.testing.assert_array_equal(np.asarray(g1[4]), 0.0)
+
+
+def test_fused_kernel_ragged_edge_count(monkeypatch):
+    """E not divisible by the tile: the dispatch pads with masked slots;
+    values and gradients must still match the scatter oracle."""
+    import qagnn_tpu.ops.pallas_gat as pg
+    monkeypatch.setattr(pg, "TILE_E", 8)
+
+    rng = np.random.default_rng(3)
+    G_, N_, E_, HD_ = 2, 8, 13, 8   # 13 % 8 != 0 -> padded to 16
+    f = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32)
+    nq, nk, nm = f(G_, N_, HD_), f(G_, N_, HD_), f(G_, N_, HD_)
+    ekb, emb = f(G_, E_, HD_), f(G_, E_, HD_)
+    skb, smb = f(G_, N_, HD_), f(G_, N_, HD_)
+    src = jnp.asarray(rng.integers(0, N_, (G_, E_)), jnp.int32)
+    dst = jnp.asarray(rng.integers(0, N_, (G_, E_)), jnp.int32)
+    mask = jnp.asarray(rng.random((G_, E_)) > 0.25, bool)
+
+    def r(t):
+        return t.reshape(t.shape[0], t.shape[1], HEADS, HD_ // HEADS)
+
+    def run(backend, args):
+        nq, nk, nm, ekb, emb, skb, smb = args
+        return relational_gat_attention_nodes(
+            r(nq), r(nk), r(nm), r(ekb), r(emb), r(skb), r(smb),
+            src, dst, mask, backend=backend)
+
+    diff = (nq, nk, nm, ekb, emb, skb, smb)
+    got = run("pallas", diff)
+    want = run("scatter", diff)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+    g1 = jax.grad(lambda a: jnp.sum(run("pallas", a) ** 2))(diff)
+    g2 = jax.grad(lambda a: jnp.sum(run("scatter", a) ** 2))(diff)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
