@@ -334,6 +334,12 @@ def main():
         extras["backend"] = args.backend
 
     baseline = 1e8
+    # measured speed-of-light ceiling for the one-hot formulation on one
+    # v5e chip at these shapes (README "Roofline": FLOP-bound, 0.61 MXU
+    # padding tax on the 200-wide dims)
+    sol_ceiling = 8.4e7
+    if not args.small:
+        extras["vs_sol_ceiling"] = round(value / sol_ceiling, 3)
     print(json.dumps({
         "metric": "gnn_5layer_train_step_edges_per_s_per_chip",
         "value": round(value, 1),

@@ -114,19 +114,28 @@ def _eye(n: int, dtype):
 
 
 def _tile_onehots(src_ref, dst_ref, mask_ref, n_nodes, cdt, *, need_dst=True):
-    """Transposed masked one-hots (N, T) for the current edge-tile block.
+    """Transposed one-hots (N, T) for the current edge-tile block.
 
     src/dst/mask refs are (1, 1, T) blocks — edge dim on lanes.
+
+    mask_ref=None builds UNMASKED one-hots: padded edge slots (src/dst 0)
+    gather node 0's values, which every caller except the denominator
+    kernel multiplies by alpha/e_edge == 0 downstream — so only the
+    denominator/degree kernel pays for the mask broadcast+multiply.
     """
     t = src_ref.shape[-1]
     src = jnp.broadcast_to(src_ref[0], (n_nodes, t))             # (N, T)
-    m = jnp.broadcast_to(mask_ref[0], (n_nodes, t)).astype(cdt)
     ids = jax.lax.broadcasted_iota(jnp.int32, (n_nodes, t), 0)
-    oh_s = jnp.maximum(1 - jnp.abs(ids - src), 0).astype(cdt) * m
-    if not need_dst:
-        return oh_s, None
-    dst = jnp.broadcast_to(dst_ref[0], (n_nodes, t))
-    oh_d = jnp.maximum(1 - jnp.abs(ids - dst), 0).astype(cdt) * m
+    oh_s = jnp.maximum(1 - jnp.abs(ids - src), 0).astype(cdt)
+    oh_d = None
+    if need_dst:
+        dst = jnp.broadcast_to(dst_ref[0], (n_nodes, t))
+        oh_d = jnp.maximum(1 - jnp.abs(ids - dst), 0).astype(cdt)
+    if mask_ref is not None:
+        m = jnp.broadcast_to(mask_ref[0], (n_nodes, t)).astype(cdt)
+        oh_s = oh_s * m
+        if oh_d is not None:
+            oh_d = oh_d * m
     return oh_s, oh_d
 
 
@@ -190,7 +199,7 @@ def _scores_kernel(nq_ref, nk_ref, ekb_ref, src_ref, dst_ref, mask_ref,
     f32 = jnp.float32
     cdt = nq_ref.dtype
     sel = _selector(hd, heads, f32)
-    oh_s, oh_d = _tile_onehots(src_ref, dst_ref, mask_ref, n_nodes, cdt)
+    oh_s, oh_d = _tile_onehots(src_ref, dst_ref, None, n_nodes, cdt)
     eq = _gather(oh_s, nq_ref[0])                                # (T, HD) f32
     ek = _gather(oh_d, nk_ref[0]) + ekb_ref[0].astype(f32)
     # (HD, H) contracted with (T, HD) over HD -> (H, T)
@@ -199,9 +208,10 @@ def _scores_kernel(nq_ref, nk_ref, ekb_ref, src_ref, dst_ref, mask_ref,
         preferred_element_type=f32)
 
 
-def _denom_kernel(src_ref, dst_ref, mask_ref, ee_ref,
-                  denom_ref, deg_ref, *, n_nodes, heads):
-    """Accumulate per-source softmax denominators and out-degrees."""
+def _denom_kernel(src_ref, dst_ref, mask_ref, scores_ref, gmax_ref,
+                  ee_ref, denom_ref, deg_ref, *, n_nodes, heads):
+    """exp(score - gmax) * mask per tile (writes e_edge) + accumulate
+    per-source softmax denominators and out-degrees."""
     f32 = jnp.float32
     t = pl.program_id(1)
 
@@ -210,11 +220,17 @@ def _denom_kernel(src_ref, dst_ref, mask_ref, ee_ref,
         denom_ref[0] = jnp.zeros_like(denom_ref[0])
         deg_ref[0] = jnp.zeros_like(deg_ref[0])
 
+    mask_t = mask_ref[0].astype(f32)                             # (1, T)
+    # clamp at 0: exact for real edges (score <= gmax by construction) and
+    # keeps garbage scores of padded edges — whose one-hots are built
+    # UNMASKED in the other kernels — from overflowing exp before the mask
+    ee = jnp.exp(jnp.minimum(scores_ref[0] - gmax_ref[0], 0.0)) * mask_t
+    ee_ref[0] = ee                                               # (H, T)
     oh_s, _ = _tile_onehots(src_ref, dst_ref, mask_ref, n_nodes, f32,
                             need_dst=False)
     # (N, T) @ (H, T)^T -> (N, H)
     denom_ref[0] += jax.lax.dot_general(
-        oh_s, ee_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        oh_s, ee, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=f32)
     deg_ref[0] += jnp.sum(oh_s, axis=1).reshape(n_nodes, 1)
 
@@ -232,7 +248,7 @@ def _aggr_kernel(nm_ref, emb_ref, ee_ref, scale_ref,
     def _():
         out_ref[0] = jnp.zeros_like(out_ref[0])
 
-    oh_s, oh_d = _tile_onehots(src_ref, dst_ref, mask_ref, n_nodes, cdt)
+    oh_s, oh_d = _tile_onehots(src_ref, dst_ref, None, n_nodes, cdt)
     msg = _gather(oh_s, nm_ref[0]) + emb_ref[0].astype(f32)      # (T, HD)
     scale_e = _gather_nh(oh_s, scale_ref[0])                     # (T, H)
     alpha_th = _to_th(ee_ref[0], eye_h) * scale_e                # (T, H)
@@ -277,7 +293,7 @@ def _fwd_impl(nq, nk, nm, ekb, emb, skb, smb, src, dst, mask, heads,
         interpret=interpret,
     )(nq, nk, ekb, src3, dst3, mask3)
 
-    # ---- dense glue: self-loop logits, global max shift, exps (XLA) -----
+    # ---- dense glue: self-loop logits, global max shift (XLA) -----------
     self_scores = _head_sum_xla(
         nq.astype(f32) * (nk + skb).astype(f32), heads)          # (G, N, H)
     mask_f = mask.astype(f32)[:, None, :]                        # (G, 1, E)
@@ -286,19 +302,21 @@ def _fwd_impl(nq, nk, nm, ekb, emb, skb, smb, src, dst, mask, heads,
         jnp.max(masked_scores, axis=2),                          # (G, H)
         jnp.max(self_scores, axis=1))                            # (G, H)
     gmax = jax.lax.stop_gradient(gmax)
-    e_edge = jnp.exp(scores - gmax[:, :, None]) * mask_f         # (G, H, E)
     e_self = jnp.exp(self_scores - gmax[:, None, :])             # (G, N, H)
 
-    # ---- pass B: denominators + degrees ---------------------------------
-    denom_edges, deg = pl.pallas_call(
+    # ---- pass B: exp + denominators + degrees (e_edge written in-kernel) -
+    h1_spec = pl.BlockSpec((1, heads, 1), lambda g, t: (g, 0, 0),
+                           memory_space=pltpu.VMEM)
+    e_edge, denom_edges, deg = pl.pallas_call(
         functools.partial(_denom_kernel, n_nodes=N, heads=heads),
         grid=grid,
-        in_specs=[idx_spec, idx_spec, idx_spec, he_spec],
-        out_specs=(nh_spec, n1_spec),
-        out_shape=(jax.ShapeDtypeStruct((G, N, heads), f32),
+        in_specs=[idx_spec, idx_spec, idx_spec, he_spec, h1_spec],
+        out_specs=(he_spec, nh_spec, n1_spec),
+        out_shape=(jax.ShapeDtypeStruct((G, heads, E), f32),
+                   jax.ShapeDtypeStruct((G, N, heads), f32),
                    jax.ShapeDtypeStruct((G, N, 1), f32)),
         interpret=interpret,
-    )(src3, dst3, mask3, e_edge)
+    )(src3, dst3, mask3, scores, gmax[:, :, None])
 
     denom_raw = denom_edges + e_self                             # (G, N, H)
     scale = (deg + 1.0) / jnp.maximum(denom_raw, _DENOM_EPS)     # (G, N, H)
@@ -500,7 +518,7 @@ def _scores_proj_kernel(nq_ref, nk_ref, emb_ref, wke_ref, bke_ref,
     f32 = jnp.float32
     cdt = nq_ref.dtype
     sel = _selector(hd, heads, f32)
-    oh_s, oh_d = _tile_onehots(src_ref, dst_ref, mask_ref, n_nodes, cdt)
+    oh_s, oh_d = _tile_onehots(src_ref, dst_ref, None, n_nodes, cdt)
     ekb_t = jax.lax.dot_general(
         emb_ref[0], wke_ref[...].astype(cdt),
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -525,7 +543,7 @@ def _aggr_proj_kernel(nm_ref, emb_ref, wme_ref, bme_ref, ee_ref, scale_ref,
     def _():
         out_ref[0] = jnp.zeros_like(out_ref[0])
 
-    oh_s, oh_d = _tile_onehots(src_ref, dst_ref, mask_ref, n_nodes, cdt)
+    oh_s, oh_d = _tile_onehots(src_ref, dst_ref, None, n_nodes, cdt)
     emb_bias = jax.lax.dot_general(
         emb_ref[0], wme_ref[...].astype(cdt),
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -692,18 +710,20 @@ def _proj_fwd_impl(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
     gmax = jnp.maximum(jnp.max(masked_scores, axis=2),
                        jnp.max(self_scores, axis=1))
     gmax = jax.lax.stop_gradient(gmax)
-    e_edge = jnp.exp(scores - gmax[:, :, None]) * mask_f
     e_self = jnp.exp(self_scores - gmax[:, None, :])
 
-    denom_edges, deg = pl.pallas_call(
+    h1_spec = pl.BlockSpec((1, heads, 1), lambda g, t: (g, 0, 0),
+                           memory_space=pltpu.VMEM)
+    e_edge, denom_edges, deg = pl.pallas_call(
         functools.partial(_denom_kernel, n_nodes=N, heads=heads),
         grid=grid,
-        in_specs=[idx_spec, idx_spec, idx_spec, he_spec],
-        out_specs=(nh_spec, n1_spec),
-        out_shape=(jax.ShapeDtypeStruct((G, N, heads), f32),
+        in_specs=[idx_spec, idx_spec, idx_spec, he_spec, h1_spec],
+        out_specs=(he_spec, nh_spec, n1_spec),
+        out_shape=(jax.ShapeDtypeStruct((G, heads, E), f32),
+                   jax.ShapeDtypeStruct((G, N, heads), f32),
                    jax.ShapeDtypeStruct((G, N, 1), f32)),
         interpret=interpret,
-    )(src3, dst3, mask3, e_edge)
+    )(src3, dst3, mask3, scores, gmax[:, :, None])
 
     denom_raw = denom_edges + e_self
     scale = (deg + 1.0) / jnp.maximum(denom_raw, _DENOM_EPS)

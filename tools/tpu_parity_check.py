@@ -51,8 +51,10 @@ def main():
     dst = jnp.asarray(rng.integers(0, N, (G, E)), jnp.int32)
     mask = jnp.asarray(rng.random((G, E)) > 0.25, bool)
 
-    def run(backend):
+    def run(backend, in_dtype, precision=None):
         r = lambda t: t.reshape(t.shape[0], t.shape[1], H, dph)
+        cast = tuple(t.astype(in_dtype)
+                     for t in (nq, nk, nm, ekb, emb, skb, smb))
 
         @jax.jit
         def loss(diff):
@@ -62,23 +64,51 @@ def main():
                 src, dst, mask, backend=backend)
             return jnp.sum(out.astype(jnp.float32) ** 2)
 
-        diff = (nq, nk, nm, ekb, emb, skb, smb)
-        val, grads = jax.value_and_grad(loss)(diff)
+        def go():
+            return jax.value_and_grad(loss)(cast)
+
+        if precision is not None:
+            # On axon, f32 matmuls route through bf16 passes by default —
+            # a true f32 reference needs HIGHEST precision.
+            with jax.default_matmul_precision(precision):
+                val, grads = go()
+        else:
+            val, grads = go()
         return float(val), [np.asarray(g, np.float32) for g in grads]
 
-    v_oh, g_oh = run("onehot")
-    v_pl, g_pl = run("pallas")
+    # 3-way: both bf16 TPU backends measured against the TRUE f32
+    # reference (onehot, HIGHEST matmul precision). Two bf16
+    # implementations legitimately round differently; each must sit in a
+    # comparable error band of the f32 truth — comparing them to each
+    # other conflates the two bands.
+    v_ref, g_ref = run("onehot", jnp.float32, precision="highest")
+    v_oh, g_oh = run("onehot", cdt)
+    v_pl, g_pl = run("pallas", cdt)
 
     ok = True
-    rel_v = abs(v_pl - v_oh) / max(abs(v_oh), 1e-9)
-    print(f"forward loss: onehot={v_oh:.6g} pallas={v_pl:.6g} rel={rel_v:.2e}")
-    ok &= rel_v < 2e-2
     names = ["dnq", "dnk", "dnm", "dekb", "demb", "dskb", "dsmb"]
-    for name, a, b in zip(names, g_pl, g_oh):
-        scale = max(np.abs(b).max(), 1e-6)
-        rel = np.abs(a - b).max() / scale
-        print(f"{name}: max_rel_vs_peak={rel:.2e}")
-        ok &= rel < 5e-2
+    print(f"forward loss: ref={v_ref:.6g} onehot={v_oh:.6g} "
+          f"pallas={v_pl:.6g}")
+    for v, tag in ((v_oh, "onehot"), (v_pl, "pallas")):
+        rel = abs(v - v_ref) / max(abs(v_ref), 1e-9)
+        print(f"  {tag} fwd rel vs f32: {rel:.2e}")
+        ok &= rel < 2e-2
+    print(f"{'grad':>6} {'onehot_max':>11} {'pallas_max':>11} "
+          f"{'onehot_rms':>11} {'pallas_rms':>11}   (vs f32, / peak|g_f32|)")
+    for name, ref, a, b in zip(names, g_ref, g_oh, g_pl):
+        scale = max(np.abs(ref).max(), 1e-6)
+        e_oh = np.abs(a - ref).max() / scale
+        e_pl = np.abs(b - ref).max() / scale
+        r_oh = np.sqrt(np.mean((a - ref) ** 2)) / scale
+        r_pl = np.sqrt(np.mean((b - ref) ** 2)) / scale
+        print(f"{name:>6} {e_oh:11.2e} {e_pl:11.2e} {r_oh:11.2e} "
+              f"{r_pl:11.2e}")
+        # pallas must sit in a comparable band to the onehot bf16 path:
+        # worst element within 2.5x (max stats over 10M+ elements are
+        # noisy between equally-correct bf16 rounding paths), RMS within
+        # 3x, and an absolute cap.
+        ok &= e_pl < max(2.5 * e_oh, 3e-2) and e_pl < 0.15
+        ok &= r_pl < max(3.0 * r_oh, 1e-3)
     print("PARITY " + ("OK" if ok else "FAIL"))
     return 0 if ok else 1
 
