@@ -143,6 +143,18 @@ def test_cli_overfit_checkpoint_eval_detail_resume(tmp_path, monkeypatch):
     assert r2["dev_acc"] == result["best_dev_acc"]
     assert os.path.exists(os.path.join(cfg_eval.save_dir,
                                        "predictions_test.csv"))
+    # detail-mode analysis dump (reference modeling_qagnn.py:236-241):
+    # pooler attention + per-layer GNN edge/self alphas + graph tensors
+    detail = np.load(os.path.join(cfg_eval.save_dir, "test_detail.0.npz"),
+                     allow_pickle=False)
+    k, g = cfg.k, cfg_eval.eval_batch_size * 2   # 2 choices per question
+    assert detail["gnn_edge_alpha"].shape[0] == k
+    assert detail["gnn_edge_alpha"].shape[1] == g
+    assert detail["gnn_self_alpha"].shape[:2] == (k, g)
+    assert detail["pool_attn"].shape[-1] == cfg.max_node_num
+    assert detail["logits"].shape == (cfg_eval.eval_batch_size, 2)
+    assert np.isfinite(detail["gnn_edge_alpha"]).all()
+    assert (detail["gnn_edge_alpha"] >= 0).all()
 
     # --- warm-start/resume -------------------------------------------------
     cfg_resume = dataclasses.replace(cfg, load_model_path=ckpt,
