@@ -34,8 +34,12 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
+
+try:                                  # jax >= 0.8
+    from jax import shard_map
+except ImportError:                   # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from qagnn_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
@@ -93,7 +97,6 @@ def edge_sharded_gat_nodes(
         in_specs=(node4, node4, node4, edge4, edge4, node4, node4,
                   edge2, edge2, edge2),
         out_specs=out_spec,
-        check_rep=False,
     )
     return fn(node_query, node_key, node_msg, edge_key_bias, edge_msg_bias,
               self_key_bias, self_msg_bias, edge_src, edge_dst, edge_mask)

@@ -51,7 +51,7 @@ def main():
     dst = jnp.asarray(rng.integers(0, N, (G, E)), jnp.int32)
     mask = jnp.asarray(rng.random((G, E)) > 0.25, bool)
 
-    def run(backend, in_dtype, precision=None):
+    def run(backend, in_dtype, on_cpu=False):
         r = lambda t: t.reshape(t.shape[0], t.shape[1], H, dph)
         cast = tuple(t.astype(in_dtype)
                      for t in (nq, nk, nm, ekb, emb, skb, smb))
@@ -64,24 +64,22 @@ def main():
                 src, dst, mask, backend=backend)
             return jnp.sum(out.astype(jnp.float32) ** 2)
 
-        def go():
-            return jax.value_and_grad(loss)(cast)
-
-        if precision is not None:
-            # On axon, f32 matmuls route through bf16 passes by default —
-            # a true f32 reference needs HIGHEST precision.
-            with jax.default_matmul_precision(precision):
-                val, grads = go()
+        if on_cpu:
+            with jax.default_device(jax.devices("cpu")[0]):
+                val, grads = jax.value_and_grad(loss)(
+                    jax.device_put(cast, jax.devices("cpu")[0]))
         else:
-            val, grads = go()
+            val, grads = jax.value_and_grad(loss)(cast)
         return float(val), [np.asarray(g, np.float32) for g in grads]
 
     # 3-way: both bf16 TPU backends measured against the TRUE f32
-    # reference (onehot, HIGHEST matmul precision). Two bf16
-    # implementations legitimately round differently; each must sit in a
-    # comparable error band of the f32 truth — comparing them to each
-    # other conflates the two bands.
-    v_ref, g_ref = run("onehot", jnp.float32, precision="highest")
+    # reference — the scatter backend at f32 on the HOST CPU (matmul-free,
+    # so axon's f32-matmuls-run-bf16 default cannot contaminate it; the
+    # HIGHEST-precision on-chip route compiles impractically slowly on the
+    # tunneled service). Two bf16 implementations legitimately round
+    # differently; each must sit in a comparable error band of the f32
+    # truth — comparing them to each other conflates the two bands.
+    v_ref, g_ref = run("scatter", jnp.float32, on_cpu=True)
     v_oh, g_oh = run("onehot", cdt)
     v_pl, g_pl = run("pallas", cdt)
 
@@ -103,12 +101,14 @@ def main():
         r_pl = np.sqrt(np.mean((b - ref) ** 2)) / scale
         print(f"{name:>6} {e_oh:11.2e} {e_pl:11.2e} {r_oh:11.2e} "
               f"{r_pl:11.2e}")
-        # pallas must sit in a comparable band to the onehot bf16 path:
-        # worst element within 2.5x (max stats over 10M+ elements are
-        # noisy between equally-correct bf16 rounding paths), RMS within
-        # 3x, and an absolute cap.
-        ok &= e_pl < max(2.5 * e_oh, 3e-2) and e_pl < 0.15
-        ok &= r_pl < max(3.0 * r_oh, 1e-3)
+        # The claim under test is COMPARATIVE: pallas is as accurate as the
+        # established onehot bf16 path. Both backends show large MAX
+        # deviations vs true f32 (bf16 rounding flips near-tie softmax
+        # weights on single elements — measured ~0.5-0.95 of peak for BOTH)
+        # with tiny RMS (~1e-3); an absolute max cap would reject onehot
+        # itself. Require pallas within 1.25x of onehot's band, max + RMS.
+        ok &= e_pl <= 1.25 * max(e_oh, 1e-3)
+        ok &= r_pl <= 1.25 * max(r_oh, 1e-4)
     print("PARITY " + ("OK" if ok else "FAIL"))
     return 0 if ok else 1
 
