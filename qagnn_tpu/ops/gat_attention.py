@@ -20,15 +20,18 @@ in [0, N) — because the disjoint-union-with-global-offsets layout the
 reference uses (modeling/modeling_qagnn.py:244-251) forces HLO scatter/gather
 over a huge flat index space, which serializes on TPU.
 
-Two backends, bit-equivalent up to fp32 reassociation:
+Three backends, equivalent up to float reassociation:
   * "scatter": jax.ops.segment_sum / take over the flattened union. Fast on
-    CPU, the correctness oracle everywhere.
+    CPU, the correctness oracle everywhere (and the CPU default).
   * "onehot": every gather/scatter/segment-reduce becomes a per-graph
     (E, N) one-hot contraction — batched dot_generals that tile onto the
-    MXU instead of serializing through HLO scatter. This is the fast TPU
-    path (N <= a few hundred nodes per graph, as here: N = 200).
-A Pallas fused kernel (qagnn_tpu.ops.pallas_gat) can replace the "onehot"
-path; all are cross-checked in tests.
+    MXU instead of serializing through HLO scatter (N <= a few hundred
+    nodes per graph, as here: N = 200).
+  * "pallas" (TPU default): the fused grid-tiled kernels of
+    qagnn_tpu.ops.pallas_gat — same one-hot formulation but built in VMEM,
+    never touching HBM; measured ~1.4x the onehot backend's train-step
+    throughput on v5e at CSQA shapes (r3: 40.6M vs 29.5M edges/s).
+All three are cross-checked in tests (values and VJPs).
 """
 
 from __future__ import annotations
