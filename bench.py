@@ -46,6 +46,7 @@ Usage: python bench.py [--backend onehot|scatter|pallas] [--iters N]
 """
 
 import argparse
+import functools
 import json
 import time
 
@@ -67,6 +68,9 @@ def parse_args():
     ap.add_argument("--eval", action="store_true",
                     help="bench train=False (no BN update / dropout)")
     ap.add_argument("--mode", default="gnn", choices=["gnn", "driver"])
+    ap.add_argument("--no_driver", action="store_true",
+                    help="skip the extra driver-mode measurement the "
+                         "default gnn run appends to the JSON")
     ap.add_argument("--mesh", default=None,
                     help="D[,M]: run under a (data=D, model=M) device mesh")
     ap.add_argument("--scaling", action="store_true",
@@ -183,7 +187,9 @@ def run_gnn(args, mesh):
 
     grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
 
-    @jax.jit
+    from qagnn_tpu.utils.tpu import tpu_compiler_options
+
+    @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
     def step(params, H, batch_stats, i):
         # a real (chained) train step: params/inputs/BN stats all advance,
         # so no two iterations are identical and every grad is consumed
@@ -302,7 +308,12 @@ def run_driver(args, mesh):
 
 def main():
     args = parse_args()
+    if args.eval and args.mode == "driver":
+        raise SystemExit(
+            "--eval is not implemented for --mode driver (run_driver benches "
+            "the train step); drop one of the two flags")
 
+    import glob
     import jax
     # persistent compile cache: repeat bench runs skip the (minutes-long)
     # remote TPU compile
@@ -310,11 +321,16 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    # honest compile-time story: compile_s below is only meaningful relative
+    # to the persistent-cache state, so record it (a cold tunneled
+    # Mosaic+XLA compile of the full Pallas step is ~20 min; warm is seconds)
+    cache_state = ("warm" if glob.glob("/tmp/qagnn_tpu_jax_cache/*")
+                   else "cold")
 
     runner = run_driver if args.mode == "driver" else run_gnn
     mesh = make_mesh_or_none(args.mesh)
 
-    extras = {}
+    extras = {"compile_cache": cache_state}
     if args.scaling and mesh is not None:
         from qagnn_tpu.parallel.mesh import make_mesh
         v1, _ = runner(args, make_mesh(1, 1))
@@ -332,6 +348,17 @@ def main():
         extras["mode"] = args.mode
     if args.backend:
         extras["backend"] = args.backend
+
+    # Ship BOTH bench modes in one artifact: the default (gnn) run also
+    # measures the REAL driver train step (make_train_step + radam + tiny
+    # LM), so the driver/bespoke gap is tracked, not narrated. Skip for
+    # --small smoke runs, mesh/scaling sweeps, and --no_driver.
+    if (args.mode == "gnn" and not args.eval and not args.small
+            and mesh is None and not args.no_driver):
+        dval, dcomp = run_driver(args, mesh)
+        extras["driver_edges_per_s"] = round(dval, 1)
+        extras["driver_vs_gnn"] = round(dval / value, 3)
+        extras["driver_compile_s"] = round(dcomp, 1)
 
     baseline = 1e8
     # measured speed-of-light ceiling for the one-hot formulation on one

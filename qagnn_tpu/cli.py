@@ -32,6 +32,15 @@ def build_model_and_data(cfg: TrainConfig, tokenizer=None):
     if tokenizer is None and cfg.lstm_vocab and "lstm" in cfg.encoder:
         from qagnn_tpu.data.word_tokenizer import WordTokenizer
         tokenizer = WordTokenizer(cfg.lstm_vocab)
+    if tokenizer is None and cfg.encoder_load \
+            and os.path.isdir(cfg.encoder_load):
+        # offline hosts: an HF save_pretrained checkpoint dir ships its
+        # tokenizer — prefer it over a hub lookup by encoder name
+        try:
+            from transformers import AutoTokenizer
+            tokenizer = AutoTokenizer.from_pretrained(cfg.encoder_load)
+        except Exception:
+            tokenizer = None
 
     dataset = QAGNNDataLoader(
         train_statements=cfg.train_statements, train_adj=cfg.train_adj,
@@ -71,6 +80,9 @@ def resolve_gnn_dtype(name: str):
     if name == "auto":
         return jnp.bfloat16 if jax.default_backend() == "tpu" \
             else jnp.float32
+    if name not in ("bfloat16", "float32"):
+        raise ValueError(
+            f"--gnn_dtype must be one of auto/bfloat16/float32, got {name!r}")
     return jnp.bfloat16 if name == "bfloat16" else jnp.float32
 
 
@@ -290,10 +302,12 @@ def train(cfg: TrainConfig) -> dict:
                                  encoder_layer_id=cfg.encoder_layer)
     eval_step = make_eval_step(model, encoder_layer_id=cfg.encoder_layer)
 
-    # edges aggregated per train step (edge budget x graphs x GNN layers) —
-    # the BASELINE.json throughput unit, printed per log interval
-    edges_per_step = (int(sample.graph.edge_src.shape[0])
-                      * int(sample.graph.edge_src.shape[1]) * cfg.k)
+    # edges aggregated per train step — the BASELINE.json throughput unit,
+    # printed per log interval. Counted from REAL (mask-true) edges per
+    # batch: the padded edge budget would inflate edges/s whenever bucketed
+    # batches carry masked slots, whereas the reference's dynamic edge list
+    # counts only real edges by construction (reference
+    # modeling/modeling_qagnn.py:244-251).
 
     def evaluate(split_iter):
         correct, total = 0, 0
@@ -310,7 +324,7 @@ def train(cfg: TrainConfig) -> dict:
         return (correct / max(total, 1)), preds
 
     best_dev_acc, final_test_acc, best_dev_epoch = 0.0, 0.0, 0
-    global_step, total_loss = 0, 0.0
+    global_step, total_loss, interval_edges = 0, 0.0, 0
     loss_history: list[float] = []
     start = time.time()
 
@@ -322,6 +336,8 @@ def train(cfg: TrainConfig) -> dict:
             if cfg.profile_dir and global_step == cfg.profile_start_step:
                 jax.profiler.start_trace(cfg.profile_dir)
                 profiling = True
+            interval_edges += int(np.asarray(batch.graph.edge_mask).sum()) \
+                * cfg.k
             state, metrics = train_step(state, _place(batch),
                                         jnp.asarray(encoder_trainable))
             total_loss += float(metrics["loss"])
@@ -338,8 +354,9 @@ def train(cfg: TrainConfig) -> dict:
                 print(f"| step {global_step:5} | loss "
                       f"{total_loss / cfg.log_interval:7.4f} | ms/batch "
                       f"{1000 * dt:7.2f} | edges/s "
-                      f"{edges_per_step / dt:10.3g} |", flush=True)
-                total_loss, start = 0.0, time.time()
+                      f"{interval_edges / (dt * cfg.log_interval):10.3g} |",
+                      flush=True)
+                total_loss, interval_edges, start = 0.0, 0, time.time()
             global_step += 1
 
         dev_acc, _ = evaluate(dataset.dev())
@@ -394,7 +411,7 @@ def eval_detail(cfg: TrainConfig) -> dict:
     # the reference echoes back — for the first `detail_batches` test
     # batches (the full-split alpha tensors are TB-scale; the reference
     # computes and discards them, qagnn.py:416).
-    detail_batches = 1 if cfg.save_model else 0
+    detail_batches = cfg.detail_batches
     detail_step = None
     if detail_batches:
         from qagnn_tpu.train.step import make_detail_step

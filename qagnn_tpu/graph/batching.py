@@ -102,6 +102,23 @@ def batch_edge_lists(
         max_e = max((ei.shape[1] for ei in edge_indices), default=0)
         edges_per_graph = pick_edge_bucket(max_e, buckets)
 
+    # The reference never drops edges (dynamic edge lists); a bucket smaller
+    # than a graph's true edge count silently changes semantics, so surface
+    # it loudly. The loader picks the bucket from the split's true max, so
+    # this only fires for an explicit/undersized edges_per_graph or a graph
+    # beyond the largest bucket.
+    n_dropped = sum(max(0, ei.shape[1] - edges_per_graph)
+                    for ei in edge_indices)
+    if n_dropped:
+        import warnings
+        n_over = sum(ei.shape[1] > edges_per_graph for ei in edge_indices)
+        warnings.warn(
+            f"edge budget {edges_per_graph} truncates {n_dropped} edges "
+            f"across {n_over}/{n_graphs} graphs (max real edge count "
+            f"{max(ei.shape[1] for ei in edge_indices)}); results will "
+            f"diverge from the reference, which never drops edges",
+            stacklevel=2)
+
     native = _native_lib()
     if native is not None:
         src, dst, typ, mask = _pack_native(

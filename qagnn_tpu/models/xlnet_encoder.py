@@ -8,8 +8,12 @@ statement tensorization left-pads, reference utils/data_utils.py:283-430).
 
 Implemented from scratch in flax for XLA. Scope: the inference/fine-tuning
 configuration the reference uses — attn_type="bi", no memory (mems), no
-permutation masks, no two-stream g path, bi_data=False. Semantics match HF
-XLNetModel under those settings exactly:
+permutation masks, no two-stream g path, bi_data=False. The scope limit is
+enforced, not just documented: `__call__` accepts no mems/perm_mask/
+target_mapping arguments (passing them raises TypeError), and
+`xlnet_config_from_hf` asserts attn_type == "bi" and bi_data == False when
+converting a checkpoint. Semantics match HF XLNetModel under those settings
+exactly:
 
   * Transformer-XL relative attention: content score ac (q + r_w_bias) . k,
     position score bd (q + r_r_bias) . k_r with the rel-shift trick over a

@@ -175,6 +175,59 @@ def _to_th(x_ht, eye_h):
         preferred_element_type=jnp.float32)
 
 
+# --- transposed (F, T) layout helpers (v3, projected kernels) --------------
+# Per-edge feature planes live as (F, T) — features on sublanes, edges on
+# lanes — and per-head planes as (H, T). Rationale: the (T, H) intermediates
+# of the (T, F) layout waste vregs 32x (H=4 lanes padded to 128: a (2048, 4)
+# f32 plane occupies 1 MB of vregs for 32 KB of data), and every
+# (H, T) <-> (T, H) identity-matmul transpose disappears because producers
+# and consumers agree on (H, T).
+
+
+def _gather_ft(oh_t, nodes):
+    """(N, F) contracted with (N, T) over N -> (F, T) node->edge gather."""
+    return jax.lax.dot_general(
+        nodes, oh_t, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _scatter_ft(oh_t, vals_ft):
+    """(N, T) contracted with (F, T) over T -> (N, F) scatter-add."""
+    return jax.lax.dot_general(
+        oh_t, vals_ft, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _gather_ht(oh_t, vals_nh):
+    """(N, H) contracted with (N, T) over N -> (H, T) per-head gather."""
+    return jax.lax.dot_general(
+        vals_nh, oh_t.astype(jnp.float32),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _hd_from_h(sel, x_ht):
+    """(HD, H) @ (H, T) -> (HD, T) per-head broadcast."""
+    return jax.lax.dot_general(
+        sel, x_ht, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _h_from_hd(sel, x_hdt):
+    """(HD, H) contracted with (HD, T) over HD -> (H, T) per-head sum."""
+    return jax.lax.dot_general(
+        sel, x_hdt, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _proj_ft(w_ref, emb_t, cdt):
+    """In-kernel edge GEMM, transposed: (D, HD) x (T, D) -> (HD, T) f32."""
+    return jax.lax.dot_general(
+        w_ref[...].astype(cdt), emb_t,
+        dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
 def _heads_to_hd_xla(x_nh, hd):
     """XLA-side (…, H) -> (…, HD) per-head broadcast."""
     h = x_nh.shape[-1]
@@ -519,15 +572,11 @@ def _scores_proj_kernel(nq_ref, nk_ref, emb_ref, wke_ref, bke_ref,
     cdt = nq_ref.dtype
     sel = _selector(hd, heads, f32)
     oh_s, oh_d = _tile_onehots(src_ref, dst_ref, None, n_nodes, cdt)
-    ekb_t = jax.lax.dot_general(
-        emb_ref[0], wke_ref[...].astype(cdt),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32) + bke_ref[...].astype(f32)   # (T, HD)
-    eq = _gather(oh_s, nq_ref[0])
-    ek = _gather(oh_d, nk_ref[0]) + ekb_t
-    scores_ref[0] = jax.lax.dot_general(
-        sel, eq * ek, dimension_numbers=(((0,), (1,)), ((), ())),
-        preferred_element_type=f32)
+    ekb_t = _proj_ft(wke_ref, emb_ref[0], cdt) \
+        + bke_ref[...].astype(f32)                               # (HD, T)
+    eq = _gather_ft(oh_s, nq_ref[0])                             # (HD, T)
+    ek = _gather_ft(oh_d, nk_ref[0]) + ekb_t
+    scores_ref[0] = _h_from_hd(sel, eq * ek)                     # (H, T)
 
 
 def _aggr_proj_kernel(nm_ref, emb_ref, wme_ref, bme_ref, ee_ref, scale_ref,
@@ -536,7 +585,6 @@ def _aggr_proj_kernel(nm_ref, emb_ref, wme_ref, bme_ref, ee_ref, scale_ref,
     f32 = jnp.float32
     cdt = nm_ref.dtype
     sel = _selector(hd, heads, f32)
-    eye_h = _eye(heads, f32)
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -544,15 +592,12 @@ def _aggr_proj_kernel(nm_ref, emb_ref, wme_ref, bme_ref, ee_ref, scale_ref,
         out_ref[0] = jnp.zeros_like(out_ref[0])
 
     oh_s, oh_d = _tile_onehots(src_ref, dst_ref, None, n_nodes, cdt)
-    emb_bias = jax.lax.dot_general(
-        emb_ref[0], wme_ref[...].astype(cdt),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32) + bme_ref[...].astype(f32)
-    msg = _gather(oh_s, nm_ref[0]) + emb_bias                    # (T, HD)
-    scale_e = _gather_nh(oh_s, scale_ref[0])
-    alpha_th = _to_th(ee_ref[0], eye_h) * scale_e
-    w = (msg * _to_hd(alpha_th, sel)).astype(cdt)
-    out_ref[0] += _scatter(oh_d, w)
+    emb_bias = _proj_ft(wme_ref, emb_ref[0], cdt) \
+        + bme_ref[...].astype(f32)                               # (HD, T)
+    msg = _gather_ft(oh_s, nm_ref[0]) + emb_bias                 # (HD, T)
+    alpha_ht = ee_ref[0] * _gather_ht(oh_s, scale_ref[0])        # (H, T)
+    w = (msg * _hd_from_h(sel, alpha_ht)).astype(cdt)            # (HD, T)
+    out_ref[0] += _scatter_ft(oh_d, w)
 
 
 def _bwd1_proj_kernel(gc_ref, nm_ref, emb_ref, wme_ref, bme_ref,
@@ -564,7 +609,6 @@ def _bwd1_proj_kernel(gc_ref, nm_ref, emb_ref, wme_ref, bme_ref,
     f32 = jnp.float32
     cdt = nm_ref.dtype
     sel = _selector(hd, heads, f32)
-    eye_h = _eye(heads, f32)
     g_id = pl.program_id(0)
     t = pl.program_id(1)
 
@@ -580,30 +624,24 @@ def _bwd1_proj_kernel(gc_ref, nm_ref, emb_ref, wme_ref, bme_ref,
 
     oh_s, oh_d = _tile_onehots(src_ref, dst_ref, mask_ref, n_nodes, cdt)
     emb_t = emb_ref[0]                                           # (T, D) cdt
-    g_dst = _gather(oh_d, gc_ref[0])                             # (T, HD)
-    emb_bias = jax.lax.dot_general(
-        emb_t, wme_ref[...].astype(cdt),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32) + bme_ref[...].astype(f32)
-    msg = _gather(oh_s, nm_ref[0]) + emb_bias
-    ee = ee_ref[0]
-    scale_src = _gather_nh(oh_s, scale_ref[0])
-    alpha_th = _to_th(ee, eye_h) * scale_src
-    d_msg = _to_hd(alpha_th, sel) * g_dst                        # (T, HD) f32
+    g_dst = _gather_ft(oh_d, gc_ref[0])                          # (HD, T)
+    emb_bias = _proj_ft(wme_ref, emb_t, cdt) + bme_ref[...].astype(f32)
+    msg = _gather_ft(oh_s, nm_ref[0]) + emb_bias                 # (HD, T)
+    ee = ee_ref[0]                                               # (H, T)
+    alpha_ht = ee * _gather_ht(oh_s, scale_ref[0])               # (H, T)
+    d_msg = _hd_from_h(sel, alpha_ht) * g_dst                    # (HD, T) f32
     d_msg_c = d_msg.astype(cdt)
-    # d(edge_emb) via this path: d_msg @ W_me^T
+    # d(edge_emb) via this path: W_me contracted over HD -> (T, D)
     demb_ref[0] = jax.lax.dot_general(
         d_msg_c, wme_ref[...].astype(cdt),
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=f32).astype(demb_ref.dtype)       # (T, D)
     dwme_ref[...] += jax.lax.dot_general(
-        emb_t, d_msg_c, dimension_numbers=(((0,), (0,)), ((), ())),
+        emb_t, d_msg_c, dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=f32)                              # (D, HD)
-    dbme_ref[...] += jnp.sum(d_msg, axis=0, keepdims=True)       # (1, HD)
-    dnm_ref[0] += _scatter(oh_s, d_msg_c)
-    dalpha_ht = jax.lax.dot_general(
-        sel, msg * g_dst, dimension_numbers=(((0,), (1,)), ((), ())),
-        preferred_element_type=f32)
+    dbme_ref[...] += jnp.sum(d_msg, axis=1, keepdims=True)       # (HD, 1)
+    dnm_ref[0] += _scatter_ft(oh_s, d_msg_c)
+    dalpha_ht = _h_from_hd(sel, msg * g_dst)                     # (H, T)
     dalpha_ref[0] = dalpha_ht
     dscale_ref[0] += jax.lax.dot_general(
         oh_s.astype(f32), dalpha_ht * ee,
@@ -621,7 +659,6 @@ def _bwd2_proj_kernel(nq_ref, nk_ref, emb_ref, wke_ref, bke_ref,
     f32 = jnp.float32
     cdt = nq_ref.dtype
     sel = _selector(hd, heads, f32)
-    eye_h = _eye(heads, f32)
     g_id = pl.program_id(0)
     t = pl.program_id(1)
 
@@ -637,30 +674,24 @@ def _bwd2_proj_kernel(nq_ref, nk_ref, emb_ref, wke_ref, bke_ref,
 
     oh_s, oh_d = _tile_onehots(src_ref, dst_ref, mask_ref, n_nodes, cdt)
     emb_t = emb_ref[0]
-    q_src = _gather(oh_s, nq_ref[0])
-    ekb_t = jax.lax.dot_general(
-        emb_t, wke_ref[...].astype(cdt),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32) + bke_ref[...].astype(f32)
-    key = _gather(oh_d, nk_ref[0]) + ekb_t
-    et_t = _to_th(ee_ref[0], eye_h)
-    dalpha_th = _to_th(dalpha_ref[0], eye_h)
-    scale_src = _gather_nh(oh_s, scale_ref[0])
-    dden_src = _gather_nh(oh_s, ddenom_ref[0])
-    d_s_th = (dalpha_th * scale_src + dden_src) * et_t
-    ds_hd = _to_hd(d_s_th, sel)
-    dekb = ds_hd * q_src                                         # (T, HD) f32
+    q_src = _gather_ft(oh_s, nq_ref[0])                          # (HD, T)
+    ekb_t = _proj_ft(wke_ref, emb_t, cdt) + bke_ref[...].astype(f32)
+    key = _gather_ft(oh_d, nk_ref[0]) + ekb_t                    # (HD, T)
+    d_s_ht = (dalpha_ref[0] * _gather_ht(oh_s, scale_ref[0])
+              + _gather_ht(oh_s, ddenom_ref[0])) * ee_ref[0]     # (H, T)
+    ds_hd = _hd_from_h(sel, d_s_ht)                              # (HD, T)
+    dekb = ds_hd * q_src                                         # (HD, T) f32
     dekb_c = dekb.astype(cdt)
     demb_ref[0] = jax.lax.dot_general(
         dekb_c, wke_ref[...].astype(cdt),
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=f32).astype(demb_ref.dtype)       # (T, D)
     dwke_ref[...] += jax.lax.dot_general(
-        emb_t, dekb_c, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=f32)
-    dbke_ref[...] += jnp.sum(dekb, axis=0, keepdims=True)
-    dnq_ref[0] += _scatter(oh_s, (ds_hd * key).astype(cdt))
-    dnk_ref[0] += _scatter(oh_d, (ds_hd * q_src).astype(cdt))
+        emb_t, dekb_c, dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=f32)                              # (D, HD)
+    dbke_ref[...] += jnp.sum(dekb, axis=1, keepdims=True)        # (HD, 1)
+    dnq_ref[0] += _scatter_ft(oh_s, (ds_hd * key).astype(cdt))
+    dnk_ref[0] += _scatter_ft(oh_d, dekb_c)
 
 
 def _proj_fwd_impl(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
@@ -687,11 +718,11 @@ def _proj_fwd_impl(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
                            memory_space=pltpu.VMEM)
     w_spec = pl.BlockSpec((D, HD), lambda g, t: (0, 0),
                           memory_space=pltpu.VMEM)
-    b_spec = pl.BlockSpec((1, HD), lambda g, t: (0, 0),
+    b_spec = pl.BlockSpec((HD, 1), lambda g, t: (0, 0),
                           memory_space=pltpu.VMEM)
 
     src3, dst3, mask3 = src[:, None, :], dst[:, None, :], mask[:, None, :]
-    b_ke2, b_me2 = b_ke.reshape(1, HD), b_me.reshape(1, HD)
+    b_ke2, b_me2 = b_ke.reshape(HD, 1), b_me.reshape(HD, 1)
 
     scores = pl.pallas_call(
         functools.partial(_scores_proj_kernel, n_nodes=N, hd=HD, heads=heads),
@@ -768,11 +799,11 @@ def _proj_bwd_impl(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
                            memory_space=pltpu.VMEM)
     w_spec = pl.BlockSpec((D, HD), lambda g_, t: (0, 0),
                           memory_space=pltpu.VMEM)
-    b_spec = pl.BlockSpec((1, HD), lambda g_, t: (0, 0),
+    b_spec = pl.BlockSpec((HD, 1), lambda g_, t: (0, 0),
                           memory_space=pltpu.VMEM)
 
     src3, dst3, mask3 = src[:, None, :], dst[:, None, :], mask[:, None, :]
-    b_ke2, b_me2 = b_ke.reshape(1, HD), b_me.reshape(1, HD)
+    b_ke2, b_me2 = b_ke.reshape(HD, 1), b_me.reshape(HD, 1)
 
     # dense self-loop cotangents (XLA)
     alpha_self = e_self * scale
@@ -793,7 +824,7 @@ def _proj_bwd_impl(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
                    jax.ShapeDtypeStruct((G, N, heads), f32),
                    jax.ShapeDtypeStruct((G, N, HD), f32),
                    jax.ShapeDtypeStruct((D, HD), f32),
-                   jax.ShapeDtypeStruct((1, HD), f32)),
+                   jax.ShapeDtypeStruct((HD, 1), f32)),
         interpret=interpret,
     )(gc, nm, edge_emb, w_me, b_me2, e_edge, scale, src3, dst3, mask3)
 
@@ -821,7 +852,7 @@ def _proj_bwd_impl(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
                    jax.ShapeDtypeStruct((G, N, HD), f32),
                    jax.ShapeDtypeStruct((G, N, HD), f32),
                    jax.ShapeDtypeStruct((D, HD), f32),
-                   jax.ShapeDtypeStruct((1, HD), f32)),
+                   jax.ShapeDtypeStruct((HD, 1), f32)),
         interpret=interpret,
     )(nq, nk, edge_emb, w_ke, b_ke2, e_edge, dalpha, scale, d_denom,
       src3, dst3, mask3)

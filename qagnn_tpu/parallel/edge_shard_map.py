@@ -141,7 +141,11 @@ def _local_gat(node_query, node_key, node_msg, edge_key_bias, edge_msg_bias,
     e_self = jnp.exp(self_scores - gmax)                       # (G, N, H)
 
     # ---- collective 2: psum of denominators + degrees ("halo" exchange) --
-    denom_l = jnp.einsum("gen,geh->gnh", oh_src, e_edge.astype(cdt),
+    # e_edge stays f32 here (the one-hot is cast UP instead): the psum'd
+    # denominators then accumulate full-precision exponentials, matching the
+    # fused Pallas kernel's f32 in-VMEM denominator accumulation rather than
+    # the XLA onehot backend's bf16-rounded contraction.
+    denom_l = jnp.einsum("gen,geh->gnh", oh_src.astype(f32), e_edge,
                          preferred_element_type=f32)
     deg_l = jnp.sum(oh_src, axis=1).astype(f32)[..., None]     # (G, N, 1)
     packed = jax.lax.psum(

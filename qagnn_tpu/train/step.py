@@ -23,6 +23,7 @@ from flax import struct
 from qagnn_tpu.graph.container import BatchedGraphs
 from qagnn_tpu.train.losses import LOSSES
 from qagnn_tpu.train.optim import TrainOptimizer, TrainOptimizerState
+from qagnn_tpu.utils.tpu import tpu_compiler_options
 
 Array = jax.Array
 
@@ -108,7 +109,7 @@ def make_train_step(
         return jax.tree.map(
             lambda x: x.reshape((num_microbatches, -1) + x.shape[1:])[i], tree)
 
-    @jax.jit
+    @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
     def train_step(state: TrainState, batch: Batch, encoder_trainable: Array):
         rng = jax.random.fold_in(state.rng, state.step)
 
@@ -150,7 +151,7 @@ def make_train_step(
 def make_eval_step(model, *, encoder_layer_id: int = -1):
     """Jitted eval: logits (B, C) with BN running averages, no dropout."""
 
-    @jax.jit
+    @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
     def eval_step(params, batch_stats, lm_inputs, graph: BatchedGraphs):
         return model.apply(
             {"params": params, "batch_stats": batch_stats},
@@ -166,7 +167,7 @@ def make_detail_step(model, *, encoder_layer_id: int = -1):
     (concept_ids, node_types, edge_index, edge_type) are already in the
     caller's BatchedGraphs."""
 
-    @jax.jit
+    @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
     def detail_step(params, batch_stats, lm_inputs, graph: BatchedGraphs):
         return model.apply(
             {"params": params, "batch_stats": batch_stats},

@@ -56,6 +56,11 @@ class TrainConfig:
     mode: str = "train"                  # train | eval_detail
     save_dir: str = "./saved_models/qagnn/"
     save_model: bool = False
+    # eval_detail: how many test batches get the full analysis npz dump
+    # (pooler attention, per-layer alphas, graph tensors). Its own flag —
+    # the reference's detail mode is unconditional (reference
+    # qagnn.py:407-424), not tied to checkpoint saving.
+    detail_batches: int = 1
     load_model_path: str | None = None
     seed: int = 0
     log_interval: int = 10

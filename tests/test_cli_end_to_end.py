@@ -13,71 +13,8 @@ import pytest
 from qagnn_tpu.utils.config import TrainConfig
 
 
-VOCAB = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
-         "the", "a", "cat", "dog", "sat", "on", "mat", "ran", "fast",
-         "what", "did", "do", "?", "animal", "says", "meow", "woof"]
-
-
-SUBJECTS = ["cat", "dog", "animal", "mat"]
-
-
-def _write_dataset(root, n_questions=4, n_choices=2, n_concept=50,
-                   dev_equals_train=False):
-    """Synthetic dataset; stems are distinguishable per question so a model
-    CAN overfit. dev_equals_train makes dev a copy of train (used by the
-    overfit test: train-set memorization shows up as dev_acc == 1)."""
-    import scipy.sparse as sp
-    rng = np.random.default_rng(0)
-    os.makedirs(f"{root}/statement", exist_ok=True)
-    os.makedirs(f"{root}/graph", exist_ok=True)
-
-    train_lines = None
-    for split, n in [("train", n_questions), ("dev", 2), ("test", 2)]:
-        lines = []
-        if dev_equals_train and split == "dev" and train_lines:
-            lines = [json.loads(l) for l in train_lines]
-            for i, d in enumerate(lines):
-                d["id"] = f"dev-{i}"
-        else:
-            for i in range(n):
-                subj = SUBJECTS[i % len(SUBJECTS)]
-                d = {"id": f"{split}-{i}",
-                     "answerKey": "AB"[int(rng.integers(0, n_choices))],
-                     "question": {
-                         "stem": f"what did the {subj} do ?",
-                         "choices": [{"label": "A", "text": "sat on the mat"},
-                                     {"label": "B", "text": "ran fast"}]}}
-                lines.append(d)
-        with open(f"{root}/statement/{split}.statement.jsonl", "w") as f:
-            serialized = [json.dumps(d) + "\n" for d in lines]
-            f.writelines(serialized)
-            if split == "train":
-                train_lines = serialized
-        if dev_equals_train and split == "dev":
-            # graphs must also match train's for memorization to transfer
-            import shutil
-            shutil.copy(f"{root}/graph/train.graph.adj.pk",
-                        f"{root}/graph/dev.graph.adj.pk")
-            continue
-        rows = []
-        for _ in range(len(lines) * n_choices):
-            nn_ = int(rng.integers(2, 6))
-            concepts = rng.choice(n_concept - 1, nn_, replace=False).astype(np.int64)
-            qm = np.zeros(nn_, bool); qm[0] = True
-            am = np.zeros(nn_, bool)
-            if nn_ > 1:
-                am[1] = True
-            dense = rng.random((3 * nn_, nn_)) < 0.4
-            cid2score = {int(c): float(rng.standard_normal()) for c in concepts}
-            cid2score[-1] = 0.0
-            rows.append({"adj": sp.coo_matrix(dense), "concepts": concepts,
-                         "qmask": qm, "amask": am, "cid2score": cid2score})
-        with open(f"{root}/graph/{split}.graph.adj.pk", "wb") as f:
-            pickle.dump(rows, f)
-
-    emb_path = f"{root}/ent_emb.npy"
-    np.save(emb_path, rng.standard_normal((n_concept, 24)).astype(np.float32))
-    return emb_path
+from qagnn_tpu.data.synthetic import VOCAB
+from qagnn_tpu.data.synthetic import write_synthetic_dataset as _write_dataset
 
 
 def _tokenizer(tmp_path):

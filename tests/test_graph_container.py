@@ -71,10 +71,16 @@ def test_node_mask():
 
 
 def test_truncation():
-    g, edge_indices, _ = _toy_batch(edges_per_graph=4, sort=False)
+    with pytest.warns(UserWarning, match="truncates"):
+        g, edge_indices, _ = _toy_batch(edges_per_graph=4, sort=False)
     assert g.edges_per_graph == 4
     for i, ei in enumerate(edge_indices):
         assert int(g.edge_mask[i].sum()) == min(ei.shape[1], 4)
+
+
+def test_no_truncation_warning_when_budget_fits(recwarn):
+    _toy_batch(edges_per_graph=16, sort=False)
+    assert not [w for w in recwarn if "truncates" in str(w.message)]
 
 
 def test_pytree_flattens():

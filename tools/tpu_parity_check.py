@@ -16,13 +16,13 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--small", action="store_true")
-    ap.add_argument("--dtype", default="bfloat16",
-                    choices=["float32", "bfloat16"])
-    args = ap.parse_args()
+def check(small: bool = False, dtype: str = "bfloat16") -> bool:
+    """Run the 3-way chip parity check; True iff all bands hold.
 
+    Importable so the TPU-gated pytest (tests_tpu/test_chip_parity.py) can
+    regression-test the bf16 gradient bands instead of relying on a
+    manually-run tool.
+    """
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -35,12 +35,12 @@ def main():
     assert jax.default_backend() == "tpu", (
         f"this check targets the real chip; got {jax.default_backend()}")
 
-    if args.small:
+    if small:
         G, N, E, HD, H = 4, 16, 64, 32, 2
     else:
         G, N, E, HD, H = 8, 200, 4096, 200, 4
     dph = HD // H
-    cdt = getattr(jnp, args.dtype)
+    cdt = getattr(jnp, dtype)
 
     rng = np.random.default_rng(0)
     f = lambda *s: jnp.asarray(rng.standard_normal(s), cdt)
@@ -110,7 +110,16 @@ def main():
         ok &= e_pl <= 1.25 * max(e_oh, 1e-3)
         ok &= r_pl <= 1.25 * max(r_oh, 1e-4)
     print("PARITY " + ("OK" if ok else "FAIL"))
-    return 0 if ok else 1
+    return bool(ok)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true")
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["float32", "bfloat16"])
+    args = ap.parse_args()
+    return 0 if check(small=args.small, dtype=args.dtype) else 1
 
 
 if __name__ == "__main__":
