@@ -62,8 +62,10 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 # 2048 is the VMEM sweet spot: kernel-body intermediates (eq/ek/msg tiles)
-# are f32 at (T, HD) — T=4096 overflows the 16 MB scoped vmem stack by the
-# scores kernel alone (measured on v5e: 16.05M > 16M).
+# are f32 at (HD, T). T=4096 overflows the DEFAULT 16 MB scoped-vmem cap in
+# the FORWARD kernels (v5e: aggr 16.39M > 16M) — and forward-only jits like
+# model.init don't carry the raised xla_tpu_scoped_vmem_limit_kib the train
+# step uses (qagnn_tpu.utils.tpu), so the fwd working set must fit in 16 MB.
 TILE_E = 2048
 _DENOM_EPS = 1e-16
 _NEG = -1e30
@@ -651,11 +653,16 @@ def _bwd1_proj_kernel(gc_ref, nm_ref, emb_ref, wme_ref, bme_ref,
 
 def _bwd2_proj_kernel(nq_ref, nk_ref, emb_ref, wke_ref, bke_ref,
                       ee_ref, dalpha_ref, scale_ref, ddenom_ref,
-                      src_ref, dst_ref, mask_ref,
+                      src_ref, dst_ref, mask_ref, dembm_ref,
                       demb_ref, dnq_ref, dnk_ref, dwke_ref, dbke_ref,
                       *, n_nodes, hd, heads):
     """Pass 2 with in-kernel key projection: d_s -> (d_edge_emb part,
-    dW_ke/db_ke grid-accumulated, dnq/dnk scatters)."""
+    dW_ke/db_ke grid-accumulated, dnq/dnk scatters).
+
+    dembm_ref carries pass 1's d_edge_emb tile and is ALIASED with the
+    demb output (input_output_aliases in _proj_bwd_impl): the layer's total
+    edge-embedding cotangent demb_m + demb_k is accumulated in-place here
+    instead of as an XLA add of two (G, E, D) HBM arrays."""
     f32 = jnp.float32
     cdt = nq_ref.dtype
     sel = _selector(hd, heads, f32)
@@ -682,10 +689,12 @@ def _bwd2_proj_kernel(nq_ref, nk_ref, emb_ref, wke_ref, bke_ref,
     ds_hd = _hd_from_h(sel, d_s_ht)                              # (HD, T)
     dekb = ds_hd * q_src                                         # (HD, T) f32
     dekb_c = dekb.astype(cdt)
-    demb_ref[0] = jax.lax.dot_general(
+    demb_k = jax.lax.dot_general(
         dekb_c, wke_ref[...].astype(cdt),
         dimension_numbers=(((0,), (1,)), ((), ())),
-        preferred_element_type=f32).astype(demb_ref.dtype)       # (T, D)
+        preferred_element_type=f32)                              # (T, D)
+    demb_ref[0] = (dembm_ref[0].astype(f32) + demb_k) \
+        .astype(demb_ref.dtype)
     dwke_ref[...] += jax.lax.dot_general(
         emb_t, dekb_c, dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=f32)                              # (D, HD)
@@ -841,27 +850,29 @@ def _proj_bwd_impl(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
     dnq_self = ds_self_hd * (nkf + skb.astype(f32))
     dnk_self = ds_self_hd * nqf
 
-    demb_k, dnq_edges, dnk_edges, dw_ke, db_ke2 = pl.pallas_call(
+    # demb_m rides INTO pass 2 aliased with its demb output: the kernel
+    # accumulates demb_m + demb_k tile-locally, so the layer's total edge
+    # cotangent costs one HBM array instead of two plus an XLA add.
+    d_edge_emb, dnq_edges, dnk_edges, dw_ke, db_ke2 = pl.pallas_call(
         functools.partial(_bwd2_proj_kernel, n_nodes=N, hd=HD, heads=heads),
         grid=grid,
         in_specs=[node_spec, node_spec, emb_spec, w_spec, b_spec,
                   he_spec, he_spec, nh_spec, nh_spec,
-                  idx_spec, idx_spec, idx_spec],
+                  idx_spec, idx_spec, idx_spec, emb_spec],
         out_specs=(emb_spec, node_spec, node_spec, w_spec, b_spec),
         out_shape=(jax.ShapeDtypeStruct((G, E, D), edge_emb.dtype),
                    jax.ShapeDtypeStruct((G, N, HD), f32),
                    jax.ShapeDtypeStruct((G, N, HD), f32),
                    jax.ShapeDtypeStruct((D, HD), f32),
                    jax.ShapeDtypeStruct((HD, 1), f32)),
+        input_output_aliases={12: 0},
         interpret=interpret,
     )(nq, nk, edge_emb, w_ke, b_ke2, e_edge, dalpha, scale, d_denom,
-      src3, dst3, mask3)
+      src3, dst3, mask3, demb_m)
 
     dnq = (dnq_edges + dnq_self).astype(nq.dtype)
     dnk = (dnk_edges + dnk_self).astype(nk.dtype)
     dnm = (dnm_edges + d_msg_self).astype(nm.dtype)
-    d_edge_emb = (demb_m.astype(f32) + demb_k.astype(f32)) \
-        .astype(edge_emb.dtype)
     return (dnq, dnk, dnm, d_edge_emb,
             dw_ke.astype(w_ke.dtype), db_ke2.reshape(-1).astype(b_ke.dtype),
             dw_me.astype(w_me.dtype), db_me2.reshape(-1).astype(b_me.dtype),
