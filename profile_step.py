@@ -44,7 +44,10 @@ def loss_fn(params, H, batch_stats, dkey):
 
 grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
 
-@jax.jit
+import functools
+from qagnn_tpu.utils.tpu import tpu_compiler_options
+
+@functools.partial(jax.jit, compiler_options=tpu_compiler_options())
 def step(params, H, batch_stats, i):
     (loss, batch_stats), (gp, gH) = grad_fn(params, H, batch_stats,
                                             jax.random.fold_in(key, i))

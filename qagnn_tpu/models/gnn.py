@@ -114,6 +114,10 @@ class GATConvE(nn.Module):
         *,
         train: bool,
         return_alpha: bool = False,
+        chain_in: tuple | None = None,   # (emb_p, src_p, dst_p, mask_p) from
+                                         # the previous layer's passthrough
+        chain_out: bool = False,         # also return that tuple for the
+                                         # next layer (pallas path only)
     ):
         d, h = self.emb_dim, self.head_count
         assert d % h == 0
@@ -135,6 +139,9 @@ class GATConvE(nn.Module):
                            name="query")
 
         backend = self.backend or default_backend()
+        assert not (chain_out or chain_in is not None) \
+            or (backend == "pallas" and not return_alpha), \
+            "edge-emb chaining only exists on the fused pallas path"
         if backend == "pallas" and not return_alpha:
             # Fused path: the key_e/msg_e projections run INSIDE the Pallas
             # kernels per edge tile (qagnn_tpu.ops.pallas_gat projected
@@ -144,6 +151,7 @@ class GATConvE(nn.Module):
             from qagnn_tpu.ops.pallas_gat import (
                 pad_edges_to_tile,
                 pallas_relational_gat_projected,
+                pallas_relational_gat_projected_chained,
             )
 
             e_in = edge_emb.shape[-1]
@@ -155,15 +163,26 @@ class GATConvE(nn.Module):
                 return jnp.dot(t.astype(cdt), w.astype(cdt)) + b.astype(cdt)
 
             nq = query_d(x) / math.sqrt(dph)            # (G, N, d)
-            _, src_p, dst_p, mask_p, emb_p = pad_edges_to_tile(
-                edge_src, edge_dst, edge_mask.astype(nq.dtype),
-                edge_emb.astype(cdt), dtype=nq.dtype)
-            aggr = pallas_relational_gat_projected(
-                nq, key_x_d(x), msg_x_d(x), emb_p,
-                wke, bke, wme, bme,
-                proj(self_emb, wke, bke), proj(self_emb, wme, bme),
-                src_p, dst_p, mask_p, h,
-                jax.default_backend() != "tpu")
+            if chain_in is not None:
+                # the previous layer's passthrough: identical values, padded
+                # once; routing edge_emb's cotangent through the chain
+                # instead of an add_any over k layers (see the chained op).
+                emb_p, src_p, dst_p, mask_p = chain_in
+            else:
+                _, src_p, dst_p, mask_p, emb_p = pad_edges_to_tile(
+                    edge_src, edge_dst, edge_mask.astype(nq.dtype),
+                    edge_emb.astype(cdt), dtype=nq.dtype)
+            args = (nq, key_x_d(x), msg_x_d(x), emb_p,
+                    wke, bke, wme, bme,
+                    proj(self_emb, wke, bke), proj(self_emb, wme, bme),
+                    src_p, dst_p, mask_p, h,
+                    jax.default_backend() != "tpu")
+            if chain_out:
+                aggr, emb_pass = pallas_relational_gat_projected_chained(
+                    *args)
+                chain_next = (emb_pass, src_p, dst_p, mask_p)
+            else:
+                aggr = pallas_relational_gat_projected(*args)
         else:
             key_e_d = nn.Dense(d, dtype=self.dtype,
                                kernel_init=normal_init(self.init_std),
@@ -210,6 +229,8 @@ class GATConvE(nn.Module):
 
         if return_alpha:
             return out, alphas
+        if chain_out:
+            return out, chain_next
         return out
 
 
@@ -306,16 +327,27 @@ class QAGNNMessagePassing(nn.Module):
         # `self._alpha` stash (reference modeling/modeling_qagnn.py:445-450).
         X = H
         alphas = []
+        # Chain the padded edge embedding through the pallas layers so its
+        # cotangent accumulates inside the fused backward kernels instead of
+        # as a k-way XLA add of (G, E, D) arrays (see
+        # pallas_relational_gat_projected_chained).
+        use_chain = ((self.backend or default_backend()) == "pallas"
+                     and not return_alpha)
+        chain = None
         for i in range(self.k):
+            chain_out = use_chain and i < self.k - 1
             X = GATConvE(emb_dim=D, head_count=self.head_count,
                          init_std=self.init_std, backend=self.backend,
                          dtype=self.dtype, name=f"gnn_layer_{i}")(
                 jnp.concatenate([X, node_extra], axis=2),
                 edge_src, edge_dst, edge_mask, edge_emb, self_emb,
-                train=train, return_alpha=return_alpha)
+                train=train, return_alpha=return_alpha,
+                chain_in=chain, chain_out=chain_out)
             if return_alpha:
                 X, layer_alphas = X
                 alphas.append(layer_alphas)
+            elif chain_out:
+                X, chain = X
             X = gelu(X)
             X = nn.Dropout(self.dropout, deterministic=not train)(X)
 

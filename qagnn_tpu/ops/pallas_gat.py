@@ -604,10 +604,21 @@ def _aggr_proj_kernel(nm_ref, emb_ref, wme_ref, bme_ref, ee_ref, scale_ref,
 
 def _bwd1_proj_kernel(gc_ref, nm_ref, emb_ref, wme_ref, bme_ref,
                       ee_ref, scale_ref, src_ref, dst_ref, mask_ref,
-                      demb_ref, dalpha_ref, dscale_ref, dnm_ref,
-                      dwme_ref, dbme_ref, *, n_nodes, hd, heads):
+                      *refs, n_nodes, hd, heads, has_carry=False):
     """Pass 1 with in-kernel msg projection: d_msg -> (d_edge_emb part,
-    dW_me/db_me grid-accumulated, dnm scatter), d_alpha, d_scale."""
+    dW_me/db_me grid-accumulated, dnm scatter), d_alpha, d_scale.
+
+    has_carry: an extra input tile carries the DOWNSTREAM layers'
+    accumulated d_edge_emb (the chained k-layer backward,
+    pallas_relational_gat_projected_chained); it is aliased with the demb
+    output, so the cross-layer cotangent sum never exists as an XLA add."""
+    if has_carry:
+        (carry_ref, demb_ref, dalpha_ref, dscale_ref, dnm_ref,
+         dwme_ref, dbme_ref) = refs
+    else:
+        carry_ref = None
+        (demb_ref, dalpha_ref, dscale_ref, dnm_ref,
+         dwme_ref, dbme_ref) = refs
     f32 = jnp.float32
     cdt = nm_ref.dtype
     sel = _selector(hd, heads, f32)
@@ -634,10 +645,13 @@ def _bwd1_proj_kernel(gc_ref, nm_ref, emb_ref, wme_ref, bme_ref,
     d_msg = _hd_from_h(sel, alpha_ht) * g_dst                    # (HD, T) f32
     d_msg_c = d_msg.astype(cdt)
     # d(edge_emb) via this path: W_me contracted over HD -> (T, D)
-    demb_ref[0] = jax.lax.dot_general(
+    demb_m = jax.lax.dot_general(
         d_msg_c, wme_ref[...].astype(cdt),
         dimension_numbers=(((0,), (1,)), ((), ())),
-        preferred_element_type=f32).astype(demb_ref.dtype)       # (T, D)
+        preferred_element_type=f32)                              # (T, D)
+    if has_carry:
+        demb_m = demb_m + carry_ref[0].astype(f32)
+    demb_ref[0] = demb_m.astype(demb_ref.dtype)
     dwme_ref[...] += jax.lax.dot_general(
         emb_t, d_msg_c, dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=f32)                              # (D, HD)
@@ -786,7 +800,7 @@ def _proj_fwd_impl(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
 
 def _proj_bwd_impl(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
                    src, dst, mask, e_edge, denom_raw, scale, e_self, g,
-                   heads, interpret):
+                   heads, interpret, carry=None):
     G, N, HD = nq.shape
     E = src.shape[1]
     D = edge_emb.shape[2]
@@ -822,11 +836,23 @@ def _proj_bwd_impl(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
     d_alpha_self = _head_sum_xla(msg_self * g, heads)
 
     gc = g.astype(cdt)
+    # carry: downstream layers' accumulated d_edge_emb (chained backward).
+    # It enters pass 1 aliased with the demb output, so the cross-layer sum
+    # is folded into the write this kernel already does.
+    b1_inputs = [gc, nm, edge_emb, w_me, b_me2, e_edge, scale,
+                 src3, dst3, mask3]
+    b1_specs = [node_spec, node_spec, emb_spec, w_spec, b_spec,
+                he_spec, nh_spec, idx_spec, idx_spec, idx_spec]
+    b1_aliases = {}
+    if carry is not None:
+        b1_inputs.append(carry.astype(edge_emb.dtype))
+        b1_specs.append(emb_spec)
+        b1_aliases = {10: 0}
     demb_m, dalpha, dscale_edges, dnm_edges, dw_me, db_me2 = pl.pallas_call(
-        functools.partial(_bwd1_proj_kernel, n_nodes=N, hd=HD, heads=heads),
+        functools.partial(_bwd1_proj_kernel, n_nodes=N, hd=HD, heads=heads,
+                          has_carry=carry is not None),
         grid=grid,
-        in_specs=[node_spec, node_spec, emb_spec, w_spec, b_spec,
-                  he_spec, nh_spec, idx_spec, idx_spec, idx_spec],
+        in_specs=b1_specs,
         out_specs=(emb_spec, he_spec, nh_spec, node_spec, w_spec, b_spec),
         out_shape=(jax.ShapeDtypeStruct((G, E, D), edge_emb.dtype),
                    jax.ShapeDtypeStruct((G, heads, E), f32),
@@ -834,8 +860,9 @@ def _proj_bwd_impl(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
                    jax.ShapeDtypeStruct((G, N, HD), f32),
                    jax.ShapeDtypeStruct((D, HD), f32),
                    jax.ShapeDtypeStruct((HD, 1), f32)),
+        input_output_aliases=b1_aliases,
         interpret=interpret,
-    )(gc, nm, edge_emb, w_me, b_me2, e_edge, scale, src3, dst3, mask3)
+    )(*b1_inputs)
 
     dscale = dscale_edges + d_alpha_self * e_self
     denom_c = jnp.maximum(denom_raw, _DENOM_EPS)
@@ -917,6 +944,56 @@ def _proj_vjp_bwd(heads, interpret, residuals, g):
 
 
 pallas_relational_gat_projected.defvjp(_proj_vjp_fwd, _proj_vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14))
+def pallas_relational_gat_projected_chained(nq, nk, nm, edge_emb, w_ke, b_ke,
+                                            w_me, b_me, skb, smb,
+                                            src, dst, mask, heads,
+                                            interpret=False):
+    """Projected op that ALSO passes edge_emb through as a second output.
+
+    The k-layer loop threads the passthrough into the next layer instead of
+    handing every layer the same edge_emb array: each (G, E, D) value then
+    has exactly ONE consumer, so autodiff routes the edge-embedding
+    cotangent through the chain — each layer's backward receives the
+    downstream layers' accumulated d_edge_emb as `carry` and folds it into
+    its own demb write via input_output_aliases (see _proj_bwd_impl). The
+    reference recomputes edge embeddings per layer and pays the sum
+    implicitly in torch autograd (reference modeling/modeling_qagnn.py:433);
+    here the cross-layer sum never exists as an op at all.
+
+    The passthrough is the same buffer in the dataflow graph (no HBM copy).
+    """
+    out = _proj_fwd_impl(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me,
+                         skb, smb, src, dst, mask, heads, interpret)[0]
+    return out, edge_emb
+
+
+def _proj_chain_vjp_fwd(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me,
+                        skb, smb, src, dst, mask, heads, interpret):
+    out, e_edge, denom_raw, scale, e_self = _proj_fwd_impl(
+        nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
+        src, dst, mask, heads, interpret)
+    res = (nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
+           src, dst, mask, e_edge, denom_raw, scale, e_self)
+    return (out, edge_emb), res
+
+
+def _proj_chain_vjp_bwd(heads, interpret, residuals, g):
+    (nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
+     src, dst, mask, e_edge, denom_raw, scale, e_self) = residuals
+    g_out, g_emb = g
+    grads = _proj_bwd_impl(
+        nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
+        src, dst, mask, e_edge, denom_raw, scale, e_self,
+        g_out.astype(jnp.float32), heads, interpret, carry=g_emb)
+    zero_i = lambda x: np.zeros(x.shape, jax.dtypes.float0)
+    return grads + (zero_i(src), zero_i(dst), jnp.zeros_like(mask))
+
+
+pallas_relational_gat_projected_chained.defvjp(_proj_chain_vjp_fwd,
+                                               _proj_chain_vjp_bwd)
 
 
 # ---------------------------------------------------------------------------
