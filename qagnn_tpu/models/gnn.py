@@ -75,16 +75,24 @@ class EdgeEncoder(nn.Module):
                                      # path; BN stats stay f32 internally)
 
     @nn.compact
-    def __call__(self, edge_feat: Array, weight: Array, *, train: bool) -> Array:
-        x = nn.Dense(self.hidden_size, kernel_init=normal_init(self.init_std),
-                     dtype=self.dtype, name="linear_0")(edge_feat)
-        x = MaskedBatchNorm(features=self.hidden_size,
-                            num_updates=self.num_updates, name="bn")(
-            x, weight, use_running_average=not train)
-        x = jax.nn.relu(x)
-        x = nn.Dense(self.hidden_size, kernel_init=normal_init(self.init_std),
-                     dtype=self.dtype, name="linear_1")(x)
-        return x
+    def __call__(self, edge_feat, weight=None, *, train: bool):
+        """edge_feat: (rows, F) with stat weight, OR a list of
+        (rows_i, F)/weight_i parts sharing ONE BatchNorm statistic — the
+        edge rows and self-loop rows are one population in the reference
+        but concatenating them just to slice the output back costs two
+        row-array copies (see MaskedBatchNorm multi-part mode)."""
+        multi = isinstance(edge_feat, (tuple, list))
+        parts = list(edge_feat) if multi else [(edge_feat, weight)]
+        lin0 = nn.Dense(self.hidden_size, kernel_init=normal_init(self.init_std),
+                        dtype=self.dtype, name="linear_0")
+        lin1 = nn.Dense(self.hidden_size, kernel_init=normal_init(self.init_std),
+                        dtype=self.dtype, name="linear_1")
+        hs = MaskedBatchNorm(features=self.hidden_size,
+                             num_updates=self.num_updates, name="bn")(
+            [(lin0(f), w) for f, w in parts],
+            use_running_average=not train)
+        outs = [lin1(jax.nn.relu(h)) for h in hs]
+        return outs if multi else outs[0]
 
 
 class GATConvE(nn.Module):
@@ -305,21 +313,20 @@ class QAGNNMessagePassing(nn.Module):
         s_type = jax.nn.one_hot(node_type, self.n_ntype, dtype=fdt)
         self_feat = jnp.concatenate([s_rel, s_type, s_type], axis=-1)
 
-        # One BN over the union of (masked) edge rows and all self-loop rows,
-        # exactly the reference's E+N-row batch (reference :431-433). k EMA
-        # updates are folded into one call (num_updates=k).
+        # One BN statistic over the union of (masked) edge rows and all
+        # self-loop rows, exactly the reference's E+N-row batch (reference
+        # :431-433) — computed WITHOUT concatenating the two row arrays
+        # (multi-part EdgeEncoder), so no concat copy and no output slices.
+        # k EMA updates are folded into one call (num_updates=k).
         nfeat = edge_feat.shape[-1]
-        all_feat = jnp.concatenate([edge_feat.reshape(G * E, nfeat),
-                                    self_feat.reshape(G * N, nfeat)], axis=0)
-        all_weight = jnp.concatenate(
-            [edge_mask.reshape(-1).astype(H.dtype),
-             jnp.ones((G * N,), H.dtype)], axis=0)
-        all_emb = EdgeEncoder(hidden_size=D, num_updates=self.k,
-                              init_std=self.init_std, dtype=self.dtype,
-                              name="edge_encoder")(
-            all_feat, all_weight, train=train)
-        edge_emb = all_emb[: G * E].reshape(G, E, D)
-        self_emb = all_emb[G * E:].reshape(G, N, D)
+        edge_emb, self_emb = EdgeEncoder(
+            hidden_size=D, num_updates=self.k, init_std=self.init_std,
+            dtype=self.dtype, name="edge_encoder")(
+            [(edge_feat.reshape(G * E, nfeat),
+              edge_mask.reshape(-1).astype(H.dtype)),
+             (self_feat.reshape(G * N, nfeat), None)], train=train)
+        edge_emb = edge_emb.reshape(G, E, D)
+        self_emb = self_emb.reshape(G, N, D)
 
         # --- k GNN layers (reference mp_helper :45-50) --------------------
         # With return_alpha, every layer also yields its per-edge/self-loop

@@ -39,14 +39,24 @@ class MaskedBatchNorm(nn.Module):
     num_updates: int = 1
 
     @nn.compact
-    def __call__(self, x: Array, weight: Array | None = None,
-                 use_running_average: bool | None = None) -> Array:
-        """x: (rows, features); weight: (rows,) nonneg — 0 drops a row from stats.
+    def __call__(self, x, weight: Array | None = None,
+                 use_running_average: bool | None = None):
+        """x: (rows, features), or a list of (x_i, weight_i) parts sharing
+        ONE statistic. weight: (rows,) nonneg — 0 drops a row from stats.
 
-        All rows are normalized/affine-transformed; only statistics are masked.
+        All rows are normalized/affine-transformed; only statistics are
+        masked. The multi-part form computes the moments over the union of
+        the parts' rows WITHOUT concatenating them — the batched edge rows
+        plus the per-node self-loop rows are one statistical population in
+        the reference (reference modeling/modeling_qagnn.py:431-433), but
+        materializing their concat (and re-slicing the output) costs two
+        row-array copies per step on TPU.
         """
         use_ra = nn.merge_param(
             "use_running_average", self.use_running_average, use_running_average)
+
+        multi = isinstance(x, (tuple, list))
+        parts = list(x) if multi else [(x, weight)]
 
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
@@ -62,21 +72,29 @@ class MaskedBatchNorm(nn.Module):
         # into the reductions (no (rows, features) f32 materialization);
         # the final normalize runs in the INPUT dtype so the big edge-row
         # arrays never round-trip HBM at f32. All no-ops for f32 inputs.
-        in_dtype = x.dtype
-        x32 = x.astype(jnp.float32)
+        f32 = jnp.float32
         if use_ra:
             mean, var = ra_mean.value, ra_var.value
         else:
-            if weight is None:
-                n = jnp.asarray(x.shape[0], jnp.float32)
-                mean = jnp.mean(x32, axis=0)
-                var = jnp.mean(jnp.square(x32 - mean), axis=0)
-            else:
-                w = weight.astype(jnp.float32)
-                n = jnp.maximum(jnp.sum(w), 1.0)
-                mean = jnp.sum(x32 * w[:, None], axis=0) / n
-                var = jnp.sum(jnp.square(x32 - mean) * w[:, None],
-                              axis=0) / n
+            n = jnp.asarray(0.0, f32)
+            s1 = jnp.zeros(self.features, f32)
+            for xi, wi in parts:
+                x32 = xi.astype(f32)
+                if wi is None:
+                    n = n + x32.shape[0]
+                    s1 = s1 + jnp.sum(x32, axis=0)
+                else:
+                    w = wi.astype(f32)
+                    n = n + jnp.sum(w)
+                    s1 = s1 + jnp.sum(x32 * w[:, None], axis=0)
+            n = jnp.maximum(n, 1.0)
+            mean = s1 / n
+            s2 = jnp.zeros(self.features, f32)
+            for xi, wi in parts:
+                d2 = jnp.square(xi.astype(f32) - mean)
+                s2 = s2 + (jnp.sum(d2, axis=0) if wi is None
+                           else jnp.sum(d2 * wi.astype(f32)[:, None], axis=0))
+            var = s2 / n
 
             if not self.is_initializing():
                 unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
@@ -86,16 +104,21 @@ class MaskedBatchNorm(nn.Module):
                 ra_var.value = decay * ra_var.value + blend * unbiased
 
         inv = jax.lax.rsqrt(var + self.eps)
-        if in_dtype == jnp.float32:   # torch-parity form, bit-identical
-            return (x32 - mean) * inv * scale + bias
-        # low-precision inputs: fold (inv, scale, mean, bias) into one
-        # per-feature scale/shift applied in the input dtype. NOTE: only the
-        # STATISTICS match torch amp here (amp runs the whole BN in fp32);
-        # the normalize itself is a bf16 x*a + b, which loses relative
-        # precision when |mean| is large against the batch spread (x*a and b
-        # then cancel in bf16). Accepted trade-off, drift bounded at 5% by
-        # tests/test_layers_extra.py; if tighter parity is ever needed, add
-        # the shift b in f32.
-        a = (inv * scale).astype(in_dtype)
-        b = (bias - mean * inv * scale).astype(in_dtype)
-        return x * a + b
+
+        def norm(xi):
+            if xi.dtype == jnp.float32:   # torch-parity form, bit-identical
+                return (xi.astype(f32) - mean) * inv * scale + bias
+            # low-precision inputs: fold (inv, scale, mean, bias) into one
+            # per-feature scale/shift applied in the input dtype. NOTE: only
+            # the STATISTICS match torch amp here (amp runs the whole BN in
+            # fp32); the normalize itself is a bf16 x*a + b, which loses
+            # relative precision when |mean| is large against the batch
+            # spread (x*a and b then cancel in bf16). Accepted trade-off,
+            # drift bounded at 5% by tests/test_layers_extra.py; if tighter
+            # parity is ever needed, add the shift b in f32.
+            a = (inv * scale).astype(xi.dtype)
+            b = (bias - mean * inv * scale).astype(xi.dtype)
+            return xi * a + b
+
+        outs = [norm(xi) for xi, _ in parts]
+        return outs if multi else outs[0]

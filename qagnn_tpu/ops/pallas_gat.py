@@ -200,10 +200,18 @@ def _scatter_ft(oh_t, vals_ft):
         preferred_element_type=jnp.float32)
 
 
-def _gather_ht(oh_t, vals_nh):
-    """(N, H) contracted with (N, T) over N -> (H, T) per-head gather."""
+def _gather_ht(oh_t, vals_nh, cdt=None):
+    """(N, H) contracted with (N, T) over N -> (H, T) per-head gather.
+
+    cdt: contraction dtype. bf16 on the hot path matches the XLA onehot
+    backend, whose scale/denominator gathers are cdt einsums with f32
+    accumulation (qagnn_tpu/ops/gat_attention.py:277) — one-hots are exact
+    in bf16, only the value operand rounds; a bf16 MXU pass is 4x cheaper
+    than f32."""
+    if cdt is None:
+        cdt = jnp.float32
     return jax.lax.dot_general(
-        vals_nh, oh_t.astype(jnp.float32),
+        vals_nh.astype(cdt), oh_t.astype(cdt),
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
@@ -568,20 +576,66 @@ def _bwd_impl(nq, nk, nm, ekb, emb, skb, smb, src, dst, mask,
 
 
 def _scores_proj_kernel(nq_ref, nk_ref, emb_ref, wke_ref, bke_ref,
-                        src_ref, dst_ref, mask_ref, scores_ref,
+                        src_ref, dst_ref, mask_ref,
+                        scores_ref, m_ref, denom_ref, deg_ref,
                         *, n_nodes, hd, heads):
+    """Pass A (merged): raw logits + ONLINE softmax denominators/degrees.
+
+    Keeps a running per-graph max m (H, 1) across the sequential tile sweep
+    and rescales the accumulated denominators flash-attention style, so the
+    old separate denominator pass — and the materialized e_edge array —
+    are gone: consumers recompute exp(score - gmax) from the scores plane.
+    Denominators accumulate TRANSPOSED as (H, N) so the per-head rescale
+    factor (H, 1) broadcasts along lanes; XLA transposes the small result.
+    """
     f32 = jnp.float32
     cdt = nq_ref.dtype
     sel = _selector(hd, heads, f32)
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        m_ref[0] = jnp.full_like(m_ref[0], _NEG)
+        denom_ref[0] = jnp.zeros_like(denom_ref[0])
+        deg_ref[0] = jnp.zeros_like(deg_ref[0])
+
     oh_s, oh_d = _tile_onehots(src_ref, dst_ref, None, n_nodes, cdt)
     ekb_t = _proj_ft(wke_ref, emb_ref[0], cdt) \
         + bke_ref[...].astype(f32)                               # (HD, T)
     eq = _gather_ft(oh_s, nq_ref[0])                             # (HD, T)
     ek = _gather_ft(oh_d, nk_ref[0]) + ekb_t
-    scores_ref[0] = _h_from_hd(sel, eq * ek)                     # (H, T)
+    s = _h_from_hd(sel, eq * ek)                                 # (H, T)
+    scores_ref[0] = s
+
+    mask_t = jnp.broadcast_to(mask_ref[0], s.shape).astype(f32)  # (H, T)
+    s_masked = jnp.where(mask_t > 0, s, _NEG)
+    tile_max = jnp.max(s_masked, axis=1, keepdims=True)          # (H, 1)
+    m_old = m_ref[0]
+    new_m = jnp.maximum(m_old, tile_max)
+    m_ref[0] = new_m
+    # exp clamped at 0: exact for real edges (s <= new_m), keeps padded
+    # edges' garbage scores from overflowing before the mask multiply
+    e = jnp.exp(jnp.minimum(s - new_m, 0.0)) * mask_t            # (H, T)
+    oh_sm = oh_s.astype(f32) \
+        * jnp.broadcast_to(mask_ref[0], oh_s.shape).astype(f32)  # (N, T)
+    denom_ref[0] = denom_ref[0] * jnp.exp(m_old - new_m) \
+        + jax.lax.dot_general(
+            e, oh_sm, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32)                          # (H, N)
+    deg_ref[0] += jnp.sum(oh_sm, axis=1).reshape(n_nodes, 1)
 
 
-def _aggr_proj_kernel(nm_ref, emb_ref, wme_ref, bme_ref, ee_ref, scale_ref,
+def _edge_exp(scores_ref, gmax_ref, mask_ref):
+    """Recompute ee = exp(score - gmax) * mask for the tile: the scores
+    plane replaces the materialized e_edge array (HBM-neutral, VPU-cheap)."""
+    f32 = jnp.float32
+    s = scores_ref[0]                                            # (H, T)
+    mask_t = jnp.broadcast_to(mask_ref[0], s.shape).astype(f32)
+    return jnp.exp(jnp.minimum(s - gmax_ref[0], 0.0)) * mask_t
+
+
+def _aggr_proj_kernel(nm_ref, emb_ref, wme_ref, bme_ref, scores_ref,
+                      gmax_ref, scale_ref,
                       src_ref, dst_ref, mask_ref, out_ref,
                       *, n_nodes, hd, heads):
     f32 = jnp.float32
@@ -597,13 +651,15 @@ def _aggr_proj_kernel(nm_ref, emb_ref, wme_ref, bme_ref, ee_ref, scale_ref,
     emb_bias = _proj_ft(wme_ref, emb_ref[0], cdt) \
         + bme_ref[...].astype(f32)                               # (HD, T)
     msg = _gather_ft(oh_s, nm_ref[0]) + emb_bias                 # (HD, T)
-    alpha_ht = ee_ref[0] * _gather_ht(oh_s, scale_ref[0])        # (H, T)
+    ee = _edge_exp(scores_ref, gmax_ref, mask_ref)               # (H, T)
+    alpha_ht = ee * _gather_ht(oh_s, scale_ref[0], cdt)          # (H, T)
     w = (msg * _hd_from_h(sel, alpha_ht)).astype(cdt)            # (HD, T)
     out_ref[0] += _scatter_ft(oh_d, w)
 
 
 def _bwd1_proj_kernel(gc_ref, nm_ref, emb_ref, wme_ref, bme_ref,
-                      ee_ref, scale_ref, src_ref, dst_ref, mask_ref,
+                      scores_ref, gmax_ref, scale_ref,
+                      src_ref, dst_ref, mask_ref,
                       *refs, n_nodes, hd, heads, has_carry=False):
     """Pass 1 with in-kernel msg projection: d_msg -> (d_edge_emb part,
     dW_me/db_me grid-accumulated, dnm scatter), d_alpha, d_scale.
@@ -640,8 +696,8 @@ def _bwd1_proj_kernel(gc_ref, nm_ref, emb_ref, wme_ref, bme_ref,
     g_dst = _gather_ft(oh_d, gc_ref[0])                          # (HD, T)
     emb_bias = _proj_ft(wme_ref, emb_t, cdt) + bme_ref[...].astype(f32)
     msg = _gather_ft(oh_s, nm_ref[0]) + emb_bias                 # (HD, T)
-    ee = ee_ref[0]                                               # (H, T)
-    alpha_ht = ee * _gather_ht(oh_s, scale_ref[0])               # (H, T)
+    ee = _edge_exp(scores_ref, gmax_ref, mask_ref)               # (H, T)
+    alpha_ht = ee * _gather_ht(oh_s, scale_ref[0], cdt)          # (H, T)
     d_msg = _hd_from_h(sel, alpha_ht) * g_dst                    # (HD, T) f32
     d_msg_c = d_msg.astype(cdt)
     # d(edge_emb) via this path: W_me contracted over HD -> (T, D)
@@ -666,8 +722,8 @@ def _bwd1_proj_kernel(gc_ref, nm_ref, emb_ref, wme_ref, bme_ref,
 
 
 def _bwd2_proj_kernel(nq_ref, nk_ref, emb_ref, wke_ref, bke_ref,
-                      ee_ref, dalpha_ref, scale_ref, ddenom_ref,
-                      src_ref, dst_ref, mask_ref, dembm_ref,
+                      scores_ref, gmax_ref, dalpha_ref, scale_ref,
+                      ddenom_ref, src_ref, dst_ref, mask_ref, dembm_ref,
                       demb_ref, dnq_ref, dnk_ref, dwke_ref, dbke_ref,
                       *, n_nodes, hd, heads):
     """Pass 2 with in-kernel key projection: d_s -> (d_edge_emb part,
@@ -698,8 +754,9 @@ def _bwd2_proj_kernel(nq_ref, nk_ref, emb_ref, wke_ref, bke_ref,
     q_src = _gather_ft(oh_s, nq_ref[0])                          # (HD, T)
     ekb_t = _proj_ft(wke_ref, emb_t, cdt) + bke_ref[...].astype(f32)
     key = _gather_ft(oh_d, nk_ref[0]) + ekb_t                    # (HD, T)
-    d_s_ht = (dalpha_ref[0] * _gather_ht(oh_s, scale_ref[0])
-              + _gather_ht(oh_s, ddenom_ref[0])) * ee_ref[0]     # (H, T)
+    d_s_ht = (dalpha_ref[0] * _gather_ht(oh_s, scale_ref[0], cdt)
+              + _gather_ht(oh_s, ddenom_ref[0], cdt)) \
+        * _edge_exp(scores_ref, gmax_ref, mask_ref)              # (H, T)
     ds_hd = _hd_from_h(sel, d_s_ht)                              # (HD, T)
     dekb = ds_hd * q_src                                         # (HD, T) f32
     dekb_c = dekb.astype(cdt)
@@ -747,59 +804,57 @@ def _proj_fwd_impl(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
     src3, dst3, mask3 = src[:, None, :], dst[:, None, :], mask[:, None, :]
     b_ke2, b_me2 = b_ke.reshape(HD, 1), b_me.reshape(HD, 1)
 
-    scores = pl.pallas_call(
+    h1_spec = pl.BlockSpec((1, heads, 1), lambda g, t: (g, 0, 0),
+                           memory_space=pltpu.VMEM)
+    hn_spec = pl.BlockSpec((1, heads, N), lambda g, t: (g, 0, 0),
+                           memory_space=pltpu.VMEM)
+    # pass A (merged): logits + online-rescaled denominators/degrees
+    scores, m_edge, denom_hn, deg = pl.pallas_call(
         functools.partial(_scores_proj_kernel, n_nodes=N, hd=HD, heads=heads),
         grid=grid,
         in_specs=[node_spec, node_spec, emb_spec, w_spec, b_spec,
                   idx_spec, idx_spec, idx_spec],
-        out_specs=he_spec,
-        out_shape=jax.ShapeDtypeStruct((G, heads, E), f32),
+        out_specs=(he_spec, h1_spec, hn_spec, n1_spec),
+        out_shape=(jax.ShapeDtypeStruct((G, heads, E), f32),
+                   jax.ShapeDtypeStruct((G, heads, 1), f32),
+                   jax.ShapeDtypeStruct((G, heads, N), f32),
+                   jax.ShapeDtypeStruct((G, N, 1), f32)),
         interpret=interpret,
     )(nq, nk, edge_emb, w_ke, b_ke2, src3, dst3, mask3)
 
     self_scores = _head_sum_xla(
         nq.astype(f32) * (nk + skb).astype(f32), heads)
-    mask_f = mask.astype(f32)[:, None, :]
-    masked_scores = jnp.where(mask_f > 0, scores, _NEG)
-    gmax = jnp.maximum(jnp.max(masked_scores, axis=2),
-                       jnp.max(self_scores, axis=1))
+    gmax = jnp.maximum(m_edge[:, :, 0],
+                       jnp.max(self_scores, axis=1))             # (G, H)
     gmax = jax.lax.stop_gradient(gmax)
     e_self = jnp.exp(self_scores - gmax[:, None, :])
-
-    h1_spec = pl.BlockSpec((1, heads, 1), lambda g, t: (g, 0, 0),
-                           memory_space=pltpu.VMEM)
-    e_edge, denom_edges, deg = pl.pallas_call(
-        functools.partial(_denom_kernel, n_nodes=N, heads=heads),
-        grid=grid,
-        in_specs=[idx_spec, idx_spec, idx_spec, he_spec, h1_spec],
-        out_specs=(he_spec, nh_spec, n1_spec),
-        out_shape=(jax.ShapeDtypeStruct((G, heads, E), f32),
-                   jax.ShapeDtypeStruct((G, N, heads), f32),
-                   jax.ShapeDtypeStruct((G, N, 1), f32)),
-        interpret=interpret,
-    )(src3, dst3, mask3, scores, gmax[:, :, None])
+    # re-shift the online denominators from the edge-only running max to
+    # the final gmax (all-masked graphs: m = -NEG -> factor exp(-inf) = 0)
+    denom_edges = jnp.transpose(denom_hn, (0, 2, 1)) \
+        * jnp.exp(m_edge[:, :, 0] - gmax)[:, None, :]            # (G, N, H)
 
     denom_raw = denom_edges + e_self
     scale = (deg + 1.0) / jnp.maximum(denom_raw, _DENOM_EPS)
 
+    gmax3 = gmax[:, :, None]
     out_edges = pl.pallas_call(
         functools.partial(_aggr_proj_kernel, n_nodes=N, hd=HD, heads=heads),
         grid=grid,
-        in_specs=[node_spec, emb_spec, w_spec, b_spec, he_spec, nh_spec,
-                  idx_spec, idx_spec, idx_spec],
+        in_specs=[node_spec, emb_spec, w_spec, b_spec, he_spec, h1_spec,
+                  nh_spec, idx_spec, idx_spec, idx_spec],
         out_specs=node_spec,
         out_shape=jax.ShapeDtypeStruct((G, N, HD), f32),
         interpret=interpret,
-    )(nm, edge_emb, w_me, b_me2, e_edge, scale, src3, dst3, mask3)
+    )(nm, edge_emb, w_me, b_me2, scores, gmax3, scale, src3, dst3, mask3)
 
     self_alpha = e_self * scale
     sm_full = (nm + smb).astype(f32)
     out = out_edges + sm_full * _heads_to_hd_xla(self_alpha, HD)
-    return out, e_edge, denom_raw, scale, e_self
+    return out, scores, gmax, denom_raw, scale, e_self
 
 
 def _proj_bwd_impl(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
-                   src, dst, mask, e_edge, denom_raw, scale, e_self, g,
+                   src, dst, mask, scores, gmax, denom_raw, scale, e_self, g,
                    heads, interpret, carry=None):
     G, N, HD = nq.shape
     E = src.shape[1]
@@ -827,6 +882,9 @@ def _proj_bwd_impl(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
 
     src3, dst3, mask3 = src[:, None, :], dst[:, None, :], mask[:, None, :]
     b_ke2, b_me2 = b_ke.reshape(HD, 1), b_me.reshape(HD, 1)
+    h1_spec = pl.BlockSpec((1, heads, 1), lambda g_, t: (g_, 0, 0),
+                           memory_space=pltpu.VMEM)
+    gmax3 = gmax[:, :, None]
 
     # dense self-loop cotangents (XLA)
     alpha_self = e_self * scale
@@ -839,15 +897,15 @@ def _proj_bwd_impl(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
     # carry: downstream layers' accumulated d_edge_emb (chained backward).
     # It enters pass 1 aliased with the demb output, so the cross-layer sum
     # is folded into the write this kernel already does.
-    b1_inputs = [gc, nm, edge_emb, w_me, b_me2, e_edge, scale,
+    b1_inputs = [gc, nm, edge_emb, w_me, b_me2, scores, gmax3, scale,
                  src3, dst3, mask3]
     b1_specs = [node_spec, node_spec, emb_spec, w_spec, b_spec,
-                he_spec, nh_spec, idx_spec, idx_spec, idx_spec]
+                he_spec, h1_spec, nh_spec, idx_spec, idx_spec, idx_spec]
     b1_aliases = {}
     if carry is not None:
         b1_inputs.append(carry.astype(edge_emb.dtype))
         b1_specs.append(emb_spec)
-        b1_aliases = {10: 0}
+        b1_aliases = {11: 0}
     demb_m, dalpha, dscale_edges, dnm_edges, dw_me, db_me2 = pl.pallas_call(
         functools.partial(_bwd1_proj_kernel, n_nodes=N, hd=HD, heads=heads,
                           has_carry=carry is not None),
@@ -884,7 +942,7 @@ def _proj_bwd_impl(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
         functools.partial(_bwd2_proj_kernel, n_nodes=N, hd=HD, heads=heads),
         grid=grid,
         in_specs=[node_spec, node_spec, emb_spec, w_spec, b_spec,
-                  he_spec, he_spec, nh_spec, nh_spec,
+                  he_spec, h1_spec, he_spec, nh_spec, nh_spec,
                   idx_spec, idx_spec, idx_spec, emb_spec],
         out_specs=(emb_spec, node_spec, node_spec, w_spec, b_spec),
         out_shape=(jax.ShapeDtypeStruct((G, E, D), edge_emb.dtype),
@@ -892,9 +950,9 @@ def _proj_bwd_impl(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
                    jax.ShapeDtypeStruct((G, N, HD), f32),
                    jax.ShapeDtypeStruct((D, HD), f32),
                    jax.ShapeDtypeStruct((HD, 1), f32)),
-        input_output_aliases={12: 0},
+        input_output_aliases={13: 0},
         interpret=interpret,
-    )(nq, nk, edge_emb, w_ke, b_ke2, e_edge, dalpha, scale, d_denom,
+    )(nq, nk, edge_emb, w_ke, b_ke2, scores, gmax3, dalpha, scale, d_denom,
       src3, dst3, mask3, demb_m)
 
     dnq = (dnq_edges + dnq_self).astype(nq.dtype)
@@ -925,19 +983,19 @@ def pallas_relational_gat_projected(nq, nk, nm, edge_emb, w_ke, b_ke,
 
 def _proj_vjp_fwd(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
                   src, dst, mask, heads, interpret):
-    out, e_edge, denom_raw, scale, e_self = _proj_fwd_impl(
+    out, scores, gmax, denom_raw, scale, e_self = _proj_fwd_impl(
         nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
         src, dst, mask, heads, interpret)
     return out, (nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
-                 src, dst, mask, e_edge, denom_raw, scale, e_self)
+                 src, dst, mask, scores, gmax, denom_raw, scale, e_self)
 
 
 def _proj_vjp_bwd(heads, interpret, residuals, g):
     (nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
-     src, dst, mask, e_edge, denom_raw, scale, e_self) = residuals
+     src, dst, mask, scores, gmax, denom_raw, scale, e_self) = residuals
     grads = _proj_bwd_impl(
         nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
-        src, dst, mask, e_edge, denom_raw, scale, e_self,
+        src, dst, mask, scores, gmax, denom_raw, scale, e_self,
         g.astype(jnp.float32), heads, interpret)
     zero_i = lambda x: np.zeros(x.shape, jax.dtypes.float0)
     return grads + (zero_i(src), zero_i(dst), jnp.zeros_like(mask))
@@ -972,21 +1030,21 @@ def pallas_relational_gat_projected_chained(nq, nk, nm, edge_emb, w_ke, b_ke,
 
 def _proj_chain_vjp_fwd(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me,
                         skb, smb, src, dst, mask, heads, interpret):
-    out, e_edge, denom_raw, scale, e_self = _proj_fwd_impl(
+    out, scores, gmax, denom_raw, scale, e_self = _proj_fwd_impl(
         nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
         src, dst, mask, heads, interpret)
     res = (nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
-           src, dst, mask, e_edge, denom_raw, scale, e_self)
+           src, dst, mask, scores, gmax, denom_raw, scale, e_self)
     return (out, edge_emb), res
 
 
 def _proj_chain_vjp_bwd(heads, interpret, residuals, g):
     (nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
-     src, dst, mask, e_edge, denom_raw, scale, e_self) = residuals
+     src, dst, mask, scores, gmax, denom_raw, scale, e_self) = residuals
     g_out, g_emb = g
     grads = _proj_bwd_impl(
         nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
-        src, dst, mask, e_edge, denom_raw, scale, e_self,
+        src, dst, mask, scores, gmax, denom_raw, scale, e_self,
         g_out.astype(jnp.float32), heads, interpret, carry=g_emb)
     zero_i = lambda x: np.zeros(x.shape, jax.dtypes.float0)
     return grads + (zero_i(src), zero_i(dst), jnp.zeros_like(mask))
