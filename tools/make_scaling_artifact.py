@@ -1,0 +1,84 @@
+"""Assemble BENCH_r*_scaling.json from bench.py --scaling runs.
+
+Records the virtual-mesh scaling sweeps (data-parallel and edge-partition
+GSPMD variants on the 8-process CPU mesh) next to the single-chip TPU
+anchor, with the caveats stated IN the artifact: this host has 2 physical
+cores, so an 8-device virtual mesh is 4x oversubscribed — the ratios
+measure GSPMD partitioning + interpreter overhead, NOT ICI scaling.
+BASELINE's >=80% 1->2-host target (SURVEY §2.4, reference qagnn.py:132-140)
+needs real multi-chip hardware; this artifact is the measuring stick
+committed so the day chips exist the number is one `bench.py --mesh
+2,1 --scaling` away.
+
+Usage:
+    python tools/make_scaling_artifact.py --out BENCH_r04_scaling.json \
+        [--anchor-json '<bench.py single-chip JSON line>']
+
+Runs the CPU sweeps itself (minutes); pass --anchor-json the most recent
+TPU bench line to embed the hardware anchor without re-running the chip.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+MESHES = ["2,1", "4,1", "1,4", "2,4"]
+
+
+def run_mesh(mesh):
+    env = {**os.environ,
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--platform", "cpu",
+         "--small", "--iters", "10", "--mesh", mesh, "--scaling"],
+        capture_output=True, text=True, timeout=900, env=env)
+    line = proc.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="BENCH_r04_scaling.json")
+    ap.add_argument("--anchor-json", default=None,
+                    help="bench.py single-chip TPU JSON line to embed")
+    args = ap.parse_args()
+
+    sweeps = []
+    for mesh in MESHES:
+        r = run_mesh(mesh)
+        kind = ("edge_partition" if mesh.split(",")[1:] not in ([], ["1"])
+                else "data_parallel")
+        if mesh == "2,4":
+            kind = "data_parallel+edge_partition"
+        r["partitioning"] = kind
+        sweeps.append(r)
+        print(json.dumps(r), flush=True)
+
+    artifact = {
+        "what": "scaling-efficiency sweeps for the 5-layer GNN train step",
+        "methodology": (
+            "bench.py --scaling: run mesh (1,1) then (D,M) on an 8-process "
+            "virtual CPU mesh; efficiency = value(DxM) / (D*M * value(1x1))"),
+        "caveats": [
+            "virtual CPU mesh on a 2-physical-core host: devices are 4x "
+            "oversubscribed, so these ratios measure GSPMD partitioning + "
+            "host-interpreter overhead, NOT ICI scaling",
+            "the BASELINE >=80% 1->2-host target needs real multi-chip "
+            "hardware (single tunneled v5e available); rerun `bench.py "
+            "--mesh 2,1 --scaling` on a pod slice to measure it",
+        ],
+        "virtual_mesh_sweeps": sweeps,
+        "tpu_single_chip_anchor": (json.loads(args.anchor_json)
+                                   if args.anchor_json else None),
+    }
+    with open(os.path.join(REPO, args.out), "w") as f:
+        json.dump(artifact, f, indent=2)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
