@@ -75,23 +75,36 @@ class EdgeEncoder(nn.Module):
                                      # path; BN stats stay f32 internally)
 
     @nn.compact
-    def __call__(self, edge_feat, weight=None, *, train: bool):
+    def __call__(self, edge_feat, weight=None, *, train: bool,
+                 return_hidden: bool = False):
         """edge_feat: (rows, F) with stat weight, OR a list of
         (rows_i, F)/weight_i parts sharing ONE BatchNorm statistic — the
         edge rows and self-loop rows are one population in the reference
         but concatenating them just to slice the output back costs two
-        row-array copies (see MaskedBatchNorm multi-part mode)."""
+        row-array copies (see MaskedBatchNorm multi-part mode).
+
+        return_hidden: return (hidden_parts, (W1, b1)) with linear_1 NOT
+        applied — the fused pallas path composes W1 into its in-kernel
+        key_e/msg_e projections (linear is associative), so linear_1's
+        (rows, D) output and its big fwd/bwd GEMMs never exist; only tiny
+        (D, D) weight-composition GEMMs remain. linear_1's parameters keep
+        the nn.Dense tree (checkpoints stay backend-interchangeable)."""
         multi = isinstance(edge_feat, (tuple, list))
         parts = list(edge_feat) if multi else [(edge_feat, weight)]
         lin0 = nn.Dense(self.hidden_size, kernel_init=normal_init(self.init_std),
                         dtype=self.dtype, name="linear_0")
-        lin1 = nn.Dense(self.hidden_size, kernel_init=normal_init(self.init_std),
-                        dtype=self.dtype, name="linear_1")
+        k1, b1 = _ProjParams(self.hidden_size, self.hidden_size,
+                             self.init_std, name="linear_1")()
         hs = MaskedBatchNorm(features=self.hidden_size,
                              num_updates=self.num_updates, name="bn")(
             [(lin0(f), w) for f, w in parts],
             use_running_average=not train)
-        outs = [lin1(jax.nn.relu(h)) for h in hs]
+        hs = [jax.nn.relu(h) for h in hs]
+        if return_hidden:
+            return (hs if multi else hs[0]), (k1, b1)
+        cdt = self.dtype
+        outs = [jnp.dot(h.astype(cdt), k1.astype(cdt)) + b1.astype(cdt)
+                for h in hs]
         return outs if multi else outs[0]
 
 
@@ -126,6 +139,12 @@ class GATConvE(nn.Module):
                                          # the previous layer's passthrough
         chain_out: bool = False,         # also return that tuple for the
                                          # next layer (pallas path only)
+        emb_proj: tuple | None = None,   # (W1, b1) of the edge encoder's
+                                         # linear_1 when edge_emb/self_emb
+                                         # are PRE-linear_1 hidden states:
+                                         # composed into key_e/msg_e so the
+                                         # (rows, D) linear_1 output never
+                                         # materializes (pallas path only)
     ):
         d, h = self.emb_dim, self.head_count
         assert d % h == 0
@@ -147,9 +166,11 @@ class GATConvE(nn.Module):
                            name="query")
 
         backend = self.backend or default_backend()
-        assert not (chain_out or chain_in is not None) \
+        assert not (chain_out or chain_in is not None
+                    or emb_proj is not None) \
             or (backend == "pallas" and not return_alpha), \
-            "edge-emb chaining only exists on the fused pallas path"
+            "edge-emb chaining/composition only exists on the fused " \
+            "pallas path"
         if backend == "pallas" and not return_alpha:
             # Fused path: the key_e/msg_e projections run INSIDE the Pallas
             # kernels per edge tile (qagnn_tpu.ops.pallas_gat projected
@@ -166,6 +187,14 @@ class GATConvE(nn.Module):
             wke, bke = _ProjParams(e_in, d, self.init_std, name="key_e")()
             wme, bme = _ProjParams(e_in, d, self.init_std, name="msg_e")()
             cdt = self.dtype
+            if emb_proj is not None:
+                # linear-over-linear composition: edge_emb = h W1 + b1, so
+                # key_e(edge_emb) = h (W1 Wke) + (b1 Wke + bke). The f32
+                # compositions are (D, D) GEMMs — JAX routes dW1/db1 back
+                # through them, summed across the k layers' uses.
+                w1, b1 = emb_proj
+                wke, bke = jnp.dot(w1, wke), jnp.dot(b1, wke) + bke
+                wme, bme = jnp.dot(w1, wme), jnp.dot(b1, wme) + bme
 
             def proj(t, w, b):   # nn.Dense semantics: compute in cdt
                 return jnp.dot(t.astype(cdt), w.astype(cdt)) + b.astype(cdt)
@@ -226,14 +255,16 @@ class GATConvE(nn.Module):
         # Output MLP: Linear -> BN -> ReLU -> Linear
         # (reference modeling/modeling_qagnn.py:408,443). The reference's BN
         # sees ALL node rows including padded nodes, so no stat mask here.
+        # Runs in the GNN compute dtype (bf16 on TPU, the reference's amp
+        # class); BN statistics stay f32 inside MaskedBatchNorm.
         out = nn.Dense(d, kernel_init=normal_init(self.init_std),
-                       name="out_linear_0")(aggr)
+                       dtype=self.dtype, name="out_linear_0")(aggr)
         out = MaskedBatchNorm(features=d, name="out_bn")(
             out.reshape(G * N, d), None,
             use_running_average=not train).reshape(G, N, d)
         out = jax.nn.relu(out)
         out = nn.Dense(d, kernel_init=normal_init(self.init_std),
-                       name="out_linear_1")(out)
+                       dtype=self.dtype, name="out_linear_1")(out)
 
         if return_alpha:
             return out, alphas
@@ -282,12 +313,14 @@ class QAGNNMessagePassing(nn.Module):
         # --- node-type embedding (reference :65-66) ----------------------
         T = jax.nn.one_hot(node_type, self.n_ntype, dtype=H.dtype)
         type_emb = gelu(nn.Dense(half, kernel_init=normal_init(self.init_std),
+                                 dtype=self.dtype,
                                  name="emb_node_type")(T))       # (G, N, D/2)
 
         # --- sinusoidal score embedding (reference :69-73, basis 1.1^j) --
         js = jnp.power(1.1, jnp.arange(half, dtype=H.dtype))     # (D/2,)
         B = jnp.sin(js[None, None, :] * node_score[:, :, None])  # (G, N, D/2)
         score_emb = gelu(nn.Dense(half, kernel_init=normal_init(self.init_std),
+                                  dtype=self.dtype,
                                   name="emb_score")(B))          # (G, N, D/2)
 
         node_extra = jnp.concatenate([type_emb, score_emb], axis=-1)  # (G, N, D)
@@ -318,13 +351,25 @@ class QAGNNMessagePassing(nn.Module):
         # :431-433) — computed WITHOUT concatenating the two row arrays
         # (multi-part EdgeEncoder), so no concat copy and no output slices.
         # k EMA updates are folded into one call (num_updates=k).
+        # On the fused pallas path the encoder stops BEFORE linear_1
+        # (return_hidden): the layers compose W1/b1 into their in-kernel
+        # key_e/msg_e projections, so the (G*E, D) linear_1 output and its
+        # big fwd/bwd GEMMs never exist.
+        use_fused = ((self.backend or default_backend()) == "pallas"
+                     and not return_alpha)
         nfeat = edge_feat.shape[-1]
-        edge_emb, self_emb = EdgeEncoder(
-            hidden_size=D, num_updates=self.k, init_std=self.init_std,
-            dtype=self.dtype, name="edge_encoder")(
-            [(edge_feat.reshape(G * E, nfeat),
-              edge_mask.reshape(-1).astype(H.dtype)),
-             (self_feat.reshape(G * N, nfeat), None)], train=train)
+        enc = EdgeEncoder(hidden_size=D, num_updates=self.k,
+                          init_std=self.init_std, dtype=self.dtype,
+                          name="edge_encoder")
+        enc_parts = [(edge_feat.reshape(G * E, nfeat),
+                      edge_mask.reshape(-1).astype(H.dtype)),
+                     (self_feat.reshape(G * N, nfeat), None)]
+        emb_proj = None
+        if use_fused:
+            (edge_emb, self_emb), emb_proj = enc(
+                enc_parts, train=train, return_hidden=True)
+        else:
+            edge_emb, self_emb = enc(enc_parts, train=train)
         edge_emb = edge_emb.reshape(G, E, D)
         self_emb = self_emb.reshape(G, N, D)
 
@@ -338,18 +383,16 @@ class QAGNNMessagePassing(nn.Module):
         # cotangent accumulates inside the fused backward kernels instead of
         # as a k-way XLA add of (G, E, D) arrays (see
         # pallas_relational_gat_projected_chained).
-        use_chain = ((self.backend or default_backend()) == "pallas"
-                     and not return_alpha)
         chain = None
         for i in range(self.k):
-            chain_out = use_chain and i < self.k - 1
+            chain_out = use_fused and i < self.k - 1
             X = GATConvE(emb_dim=D, head_count=self.head_count,
                          init_std=self.init_std, backend=self.backend,
                          dtype=self.dtype, name=f"gnn_layer_{i}")(
                 jnp.concatenate([X, node_extra], axis=2),
                 edge_src, edge_dst, edge_mask, edge_emb, self_emb,
                 train=train, return_alpha=return_alpha,
-                chain_in=chain, chain_out=chain_out)
+                chain_in=chain, chain_out=chain_out, emb_proj=emb_proj)
             if return_alpha:
                 X, layer_alphas = X
                 alphas.append(layer_alphas)
@@ -360,8 +403,10 @@ class QAGNNMessagePassing(nn.Module):
 
         # --- residual combine (reference :92-93) --------------------------
         out = gelu(
-            nn.Dense(D, kernel_init=normal_init(self.init_std), name="Vh")(H)
-            + nn.Dense(D, kernel_init=normal_init(self.init_std), name="Vx")(X))
+            nn.Dense(D, kernel_init=normal_init(self.init_std),
+                     dtype=self.dtype, name="Vh")(H)
+            + nn.Dense(D, kernel_init=normal_init(self.init_std),
+                       dtype=self.dtype, name="Vx")(X))
         out = nn.Dropout(self.dropout, deterministic=not train)(out)
         if return_alpha:
             # (k, G, E, H) edge alphas and (k, G, N, H) self-loop alphas

@@ -9,10 +9,11 @@ The XLA "onehot" backend (qagnn_tpu.ops.gat_attention) materializes every
 to the actual inputs/outputs plus tiny (H, E) score planes — the main lever
 for this bandwidth-bound op.
 
-Architecture (v2 — the round-2 single-kernel design held whole (E, HD) edge
-operands and (H, E) scratch in VMEM per graph and OOM'd the v5e's 16 MB
-scoped VMEM at production shapes; this version moves edge tiling into the
-pallas_call grid instead):
+Architecture (v3 — the round-2 single-kernel design held whole (E, HD) edge
+operands in VMEM per graph and OOM'd the v5e's 16 MB scoped VMEM; v2 moved
+edge tiling into the pallas_call grid; v3 transposed the per-edge layout,
+merged the denominator pass into the scores pass, and chained the
+cross-layer edge-cotangent accumulation through aliased outputs):
 
   * grid = (G, n_tiles): program (g, t) sees one TILE_E-edge block of each
     edge-sized operand via BlockSpecs; Mosaic double-buffers the tile DMAs.
@@ -20,27 +21,40 @@ pallas_call grid instead):
     t-invariant index map (g, t) -> (g, 0, 0): the block stays resident in
     VMEM across the whole t-loop (zeroed at t == 0, accumulated, flushed
     once when g advances) — the standard Pallas accumulation pattern.
-  * the cheap dense glue between edge passes (global max shift, exp, scale
-    = degree/denominator, the self-loop path, closing the softmax VJP chain)
-    runs as plain XLA on (G, N, H)/(G, H, E)-sized arrays — a few hundred KB
-    per graph, fused by XLA, not worth kernel complexity.
-  * VMEM per program is a few tile-sized blocks (~2-4 MB at TILE_E=2048,
-    bf16), independent of E; and each kernel body is compiled ONCE for the
-    whole grid instead of unrolling a fori_loop over tiles — Mosaic compile
-    time drops from ~10 min (round-2 design) to seconds.
+  * the cheap dense glue between edge passes (final gmax vs the self-loop
+    scores, scale = degree/denominator, the self-loop path, closing the
+    softmax VJP chain) runs as plain XLA on (G, N, H)/(G, H, E)-sized
+    arrays — a few hundred KB per graph, fused by XLA.
+  * VMEM per program is a few tile-sized blocks, independent of E; each
+    kernel body is compiled ONCE for the whole grid. The train-step jits
+    raise the scoped-vmem cap to 32 MiB (qagnn_tpu.utils.tpu) for the
+    backward working set + aliased accumulators.
 
-TPU layout decisions (v5e Mosaic), carried over from v1:
+TPU layout decisions (v5e Mosaic), v3 — the projected kernels:
+  * per-edge FEATURE planes are (F, T): features on sublanes, edges on
+    lanes. The earlier (T, F) layout forced (T, H) intermediates that
+    padded H=4 lanes to 128 (32x vreg waste) and (H, T) <-> (T, H)
+    identity-matmul transposes; in (F, T) every producer/consumer agrees
+    on (H, T) per-head planes and the transposes are gone.
   * indices/mask ride as (G, 1, E) — edge dim on LANES.
   * one-hots are built TRANSPOSED, (N, T): node ids vary along sublanes via
     broadcasted_iota(dim 0); built by integer arithmetic max(1-|ids-idx|, 0)
     (v5e Mosaic rejects vector compares against broadcast operands).
-  * per-head score reduction via a block-diagonal selector matmul (HD, H);
-    (H, T) -> (T, H) transposes via identity matmul (no Mosaic relayout).
-  * per-edge scores/exps live as (H, E) planes — (E, H) would pad H->128.
-  * all matmul accumulators f32 (Mosaic requires 32-bit acc).
-  * softmax uses a per-graph GLOBAL max shift per head — exact per-group
-    softmax, guarded denominator (same scheme as the XLA onehot backend,
-    which stop-gradients the shift; the backward treats it as constant).
+  * per-head reduce/broadcast via a block-diagonal selector matmul (HD, H).
+  * all matmul accumulators f32 (Mosaic requires 32-bit acc); per-head
+    value gathers contract in the compute dtype like the XLA onehot
+    backend's cdt einsums (_gather_ht).
+  * softmax uses a per-graph GLOBAL max shift per head, accumulated ONLINE
+    flash-attention style in the scores pass (running max + denominator
+    rescale), re-shifted in XLA once the self-loop scores join — exact
+    per-group softmax, guarded denominator, stop-gradient shift (same
+    scheme as the XLA onehot backend).
+  * e_edge is never materialized: consumers recompute exp(score - gmax)
+    from the (H, E) scores plane (_edge_exp).
+  * d_edge_emb accumulates through input_output_aliases twice: bwd pass 2
+    folds pass 1's tile in-place, and the chained variant folds the
+    DOWNSTREAM layers' carry into pass 1 — the k-layer cotangent sum never
+    exists as an op.
 
 Semantics match qagnn_tpu.ops.gat_attention.relational_gat_attention_nodes
 (reference modeling/modeling_qagnn.py:411-484); forward and backward are
@@ -216,10 +230,18 @@ def _gather_ht(oh_t, vals_nh, cdt=None):
         preferred_element_type=jnp.float32)
 
 
-def _hd_from_h(sel, x_ht):
-    """(HD, H) @ (H, T) -> (HD, T) per-head broadcast."""
+def _hd_from_h(sel, x_ht, cdt=None):
+    """(HD, H) @ (H, T) -> (HD, T) per-head broadcast.
+
+    cdt: contraction dtype — bf16 on the hot path rounds the per-head value
+    once before the broadcast, the same single-rounding class as the XLA
+    onehot backend's cdt products; the selector is exact in any dtype and
+    a bf16 MXU pass is 4x cheaper than f32."""
+    if cdt is None:
+        cdt = jnp.float32
     return jax.lax.dot_general(
-        sel, x_ht, dimension_numbers=(((1,), (0,)), ((), ())),
+        sel.astype(cdt), x_ht.astype(cdt),
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
 
@@ -653,7 +675,7 @@ def _aggr_proj_kernel(nm_ref, emb_ref, wme_ref, bme_ref, scores_ref,
     msg = _gather_ft(oh_s, nm_ref[0]) + emb_bias                 # (HD, T)
     ee = _edge_exp(scores_ref, gmax_ref, mask_ref)               # (H, T)
     alpha_ht = ee * _gather_ht(oh_s, scale_ref[0], cdt)          # (H, T)
-    w = (msg * _hd_from_h(sel, alpha_ht)).astype(cdt)            # (HD, T)
+    w = (msg * _hd_from_h(sel, alpha_ht, cdt)).astype(cdt)       # (HD, T)
     out_ref[0] += _scatter_ft(oh_d, w)
 
 
@@ -691,14 +713,19 @@ def _bwd1_proj_kernel(gc_ref, nm_ref, emb_ref, wme_ref, bme_ref,
         dwme_ref[...] = jnp.zeros_like(dwme_ref[...])
         dbme_ref[...] = jnp.zeros_like(dbme_ref[...])
 
-    oh_s, oh_d = _tile_onehots(src_ref, dst_ref, mask_ref, n_nodes, cdt)
+    # UNMASKED one-hots: every masked-edge contribution below is killed by
+    # a factor of ee (masked in _edge_exp) — d_msg, dalpha*ee, dekb, demb,
+    # all scatters — so the (N, T) mask broadcast+multiply is pure waste
+    # here (r3 tried this and hit the then-16 MB vmem cap; the raised cap
+    # makes it free).
+    oh_s, oh_d = _tile_onehots(src_ref, dst_ref, None, n_nodes, cdt)
     emb_t = emb_ref[0]                                           # (T, D) cdt
     g_dst = _gather_ft(oh_d, gc_ref[0])                          # (HD, T)
     emb_bias = _proj_ft(wme_ref, emb_t, cdt) + bme_ref[...].astype(f32)
     msg = _gather_ft(oh_s, nm_ref[0]) + emb_bias                 # (HD, T)
     ee = _edge_exp(scores_ref, gmax_ref, mask_ref)               # (H, T)
     alpha_ht = ee * _gather_ht(oh_s, scale_ref[0], cdt)          # (H, T)
-    d_msg = _hd_from_h(sel, alpha_ht) * g_dst                    # (HD, T) f32
+    d_msg = _hd_from_h(sel, alpha_ht, cdt) * g_dst               # (HD, T) f32
     d_msg_c = d_msg.astype(cdt)
     # d(edge_emb) via this path: W_me contracted over HD -> (T, D)
     demb_m = jax.lax.dot_general(
@@ -715,8 +742,10 @@ def _bwd1_proj_kernel(gc_ref, nm_ref, emb_ref, wme_ref, bme_ref,
     dnm_ref[0] += _scatter_ft(oh_s, d_msg_c)
     dalpha_ht = _h_from_hd(sel, msg * g_dst)                     # (H, T)
     dalpha_ref[0] = dalpha_ht
+    # cdt contraction with f32 accumulate — the transpose of the onehot
+    # backend's cdt scale-gather einsum rounds identically
     dscale_ref[0] += jax.lax.dot_general(
-        oh_s.astype(f32), dalpha_ht * ee,
+        oh_s, (dalpha_ht * ee).astype(cdt),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=f32)
 
@@ -749,7 +778,7 @@ def _bwd2_proj_kernel(nq_ref, nk_ref, emb_ref, wke_ref, bke_ref,
         dwke_ref[...] = jnp.zeros_like(dwke_ref[...])
         dbke_ref[...] = jnp.zeros_like(dbke_ref[...])
 
-    oh_s, oh_d = _tile_onehots(src_ref, dst_ref, mask_ref, n_nodes, cdt)
+    oh_s, oh_d = _tile_onehots(src_ref, dst_ref, None, n_nodes, cdt)
     emb_t = emb_ref[0]
     q_src = _gather_ft(oh_s, nq_ref[0])                          # (HD, T)
     ekb_t = _proj_ft(wke_ref, emb_t, cdt) + bke_ref[...].astype(f32)
@@ -757,7 +786,7 @@ def _bwd2_proj_kernel(nq_ref, nk_ref, emb_ref, wke_ref, bke_ref,
     d_s_ht = (dalpha_ref[0] * _gather_ht(oh_s, scale_ref[0], cdt)
               + _gather_ht(oh_s, ddenom_ref[0], cdt)) \
         * _edge_exp(scores_ref, gmax_ref, mask_ref)              # (H, T)
-    ds_hd = _hd_from_h(sel, d_s_ht)                              # (HD, T)
+    ds_hd = _hd_from_h(sel, d_s_ht, cdt)                         # (HD, T)
     dekb = ds_hd * q_src                                         # (HD, T) f32
     dekb_c = dekb.astype(cdt)
     demb_k = jax.lax.dot_general(
