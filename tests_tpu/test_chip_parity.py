@@ -25,3 +25,13 @@ def test_chip_parity_bench_shapes():
     assert check(small=False, dtype="bfloat16"), (
         "pallas bf16 error bands exceeded 1.25x of the onehot bf16 bands "
         "vs the f32 CPU scatter oracle (see stdout table)")
+
+
+def test_chip_parity_projected_production_path():
+    """The PROJECTED fused kernels through GATConvE (in-kernel edge GEMMs,
+    merged scores+denominator, aliased/chained cotangents, linear_1
+    composition) — parameter-gradient bands vs the f32 scatter oracle."""
+    from tools.tpu_parity_check import check_projected
+    assert check_projected(small=False, dtype="bfloat16"), (
+        "projected-path bf16 gradient bands exceeded 1.5x of the onehot "
+        "bands vs the f32 CPU scatter oracle (see stdout table)")

@@ -113,13 +113,99 @@ def check(small: bool = False, dtype: str = "bfloat16") -> bool:
     return bool(ok)
 
 
+def check_projected(small: bool = False, dtype: str = "bfloat16") -> bool:
+    """Production-path parity: the PROJECTED fused kernels through the full
+    GATConvE module (in-kernel edge GEMMs, merged scores+denominator pass,
+    aliased cotangent accumulation, linear_1 composition) vs the scatter
+    oracle at f32 on the host CPU — same params, bf16-band criteria."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/qagnn_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from qagnn_tpu.models.gnn import QAGNNMessagePassing
+
+    assert jax.default_backend() == "tpu", (
+        f"this check targets the real chip; got {jax.default_backend()}")
+
+    if small:
+        G, N, E, D, K, H = 4, 16, 64, 32, 2, 2
+    else:
+        G, N, E, D, K, H = 8, 200, 2048, 200, 2, 4
+    cdt = getattr(jnp, dtype)
+
+    rng = np.random.default_rng(1)
+    Hx = jnp.asarray(rng.standard_normal((G, N, D)), jnp.float32)
+    node_type = jnp.asarray(rng.integers(0, 4, (G, N)), jnp.int32)
+    node_score = jnp.asarray(rng.standard_normal((G, N)), jnp.float32)
+    src = jnp.asarray(rng.integers(0, N, (G, E)), jnp.int32)
+    dst = jnp.asarray(rng.integers(0, N, (G, E)), jnp.int32)
+    etype = jnp.asarray(rng.integers(0, 38, (G, E)), jnp.int32)
+    mask = jnp.asarray(rng.random((G, E)) > 0.25, bool)
+    args = (Hx, node_type, node_score, src, dst, etype, mask)
+
+    def build(backend, mdt):
+        return QAGNNMessagePassing(k=K, n_ntype=4, n_etype=38, hidden_size=D,
+                                   dropout=0.0, head_count=H,
+                                   backend=backend, dtype=mdt)
+
+    variables = build("scatter", jnp.float32).init(
+        jax.random.PRNGKey(0), *args, train=False)
+
+    def loss(backend, mdt, params, on_cpu=False):
+        def f(p):
+            out = build(backend, mdt).apply(
+                {"params": p, "batch_stats": variables["batch_stats"]},
+                *args, train=False)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        if on_cpu:
+            with jax.default_device(jax.devices("cpu")[0]):
+                return jax.value_and_grad(f)(params)
+        return jax.value_and_grad(f)(params)
+
+    v_ref, g_ref = loss("scatter", jnp.float32, variables["params"],
+                        on_cpu=True)
+    v_oh, g_oh = loss("onehot", cdt, variables["params"])
+    v_pl, g_pl = loss("pallas", cdt, variables["params"])
+
+    ok = True
+    print(f"[projected] forward loss: ref={float(v_ref):.6g} "
+          f"onehot={float(v_oh):.6g} pallas={float(v_pl):.6g}")
+    for v, tag in ((float(v_oh), "onehot"), (float(v_pl), "pallas")):
+        rel = abs(v - float(v_ref)) / max(abs(float(v_ref)), 1e-9)
+        print(f"  {tag} fwd rel vs f32: {rel:.2e}")
+        ok &= rel < 2e-2
+    import jax.tree_util as jtu
+    flat_ref = jtu.tree_flatten_with_path(g_ref)[0]
+    flat_oh = jax.tree.leaves(g_oh)
+    flat_pl = jax.tree.leaves(g_pl)
+    print(f"{'param':>40} {'onehot_rms':>11} {'pallas_rms':>11}")
+    for (path, ref), a, b in zip(flat_ref, flat_oh, flat_pl):
+        ref = np.asarray(ref, np.float32)
+        scale = max(np.abs(ref).max(), 1e-6)
+        r_oh = np.sqrt(np.mean((np.asarray(a, np.float32) - ref) ** 2)) / scale
+        r_pl = np.sqrt(np.mean((np.asarray(b, np.float32) - ref) ** 2)) / scale
+        name = jtu.keystr(path)
+        print(f"{name[-40:]:>40} {r_oh:11.2e} {r_pl:11.2e}")
+        ok &= r_pl <= 1.5 * max(r_oh, 3e-4)
+    print("[projected] PARITY " + ("OK" if ok else "FAIL"))
+    return bool(ok)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--skip-projected", action="store_true")
     args = ap.parse_args()
-    return 0 if check(small=args.small, dtype=args.dtype) else 1
+    ok = check(small=args.small, dtype=args.dtype)
+    if not args.skip_projected:
+        ok &= check_projected(small=args.small, dtype=args.dtype)
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":
