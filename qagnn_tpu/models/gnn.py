@@ -76,7 +76,8 @@ class EdgeEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, edge_feat, weight=None, *, train: bool,
-                 return_hidden: bool = False):
+                 return_hidden: bool = False, edge_ints: tuple | None = None,
+                 n_rel: int | None = None, n_ntype: int | None = None):
         """edge_feat: (rows, F) with stat weight, OR a list of
         (rows_i, F)/weight_i parts sharing ONE BatchNorm statistic — the
         edge rows and self-loop rows are one population in the reference
@@ -88,21 +89,70 @@ class EdgeEncoder(nn.Module):
         key_e/msg_e projections (linear is associative), so linear_1's
         (rows, D) output and its big fwd/bwd GEMMs never exist; only tiny
         (D, D) weight-composition GEMMs remain. linear_1's parameters keep
-        the nn.Dense tree (checkpoints stay backend-interchangeable)."""
-        multi = isinstance(edge_feat, (tuple, list))
-        parts = list(edge_feat) if multi else [(edge_feat, weight)]
-        lin0 = nn.Dense(self.hidden_size, kernel_init=normal_init(self.init_std),
-                        dtype=self.dtype, name="linear_0")
+        the nn.Dense tree (checkpoints stay backend-interchangeable).
+
+        edge_ints = (edge_type, head_t, tail_t, edge_mask) — the FULLY
+        FUSED edge side (pallas path): edge_feat is then only the
+        self-loop rows. The edge rows' linear_0 + BN + ReLU run in the
+        qagnn_tpu.ops.pallas_edge_encoder kernels, emitting h TRANSPOSED
+        (G, D, E_pad); the BN batch moments of the edge rows are ANALYTIC
+        in (W0, b0) given the masked feature histogram/second moment, so
+        the BN-train gradient paths stay ordinary JAX autodiff. Implies
+        return_hidden. Returns ((h_edge_t, h_self_rows), (W1, b1))."""
+        lin0_params = None
+        if edge_ints is not None:
+            lin0_params = _ProjParams(n_rel + 2 * n_ntype, self.hidden_size,
+                                      self.init_std, name="linear_0")()
+        else:
+            lin0 = nn.Dense(self.hidden_size,
+                            kernel_init=normal_init(self.init_std),
+                            dtype=self.dtype, name="linear_0")
         k1, b1 = _ProjParams(self.hidden_size, self.hidden_size,
                              self.init_std, name="linear_1")()
-        hs = MaskedBatchNorm(features=self.hidden_size,
-                             num_updates=self.num_updates, name="bn")(
-            [(lin0(f), w) for f, w in parts],
-            use_running_average=not train)
+        bn = MaskedBatchNorm(features=self.hidden_size,
+                             num_updates=self.num_updates, name="bn")
+        cdt = self.dtype
+
+        if edge_ints is not None:
+            assert return_hidden
+            import jax as _jax
+
+            from qagnn_tpu.ops.pallas_edge_encoder import (
+                analytic_edge_moments,
+                edge_feature_moments,
+                edge_hidden,
+            )
+
+            etype, head_t, tail_t, emask = edge_ints
+            w0, b0 = lin0_params
+            x0_self = jnp.dot(edge_feat.astype(cdt), w0.astype(cdt)) \
+                + b0.astype(cdt)
+            interp = _jax.default_backend() != "tpu"
+            if train:
+                hist, M, n_e = edge_feature_moments(
+                    etype, head_t, tail_t, emask, n_rel, n_ntype, interp)
+                s1, s2 = analytic_edge_moments(w0, b0, hist, M, n_e)
+                res, (a, b) = bn([("moments", s1, s2, n_e),
+                                  (x0_self, None)],
+                                 use_running_average=False,
+                                 return_affine=True)
+                h_self = jax.nn.relu(res[1])
+            else:
+                res, (a, b) = bn([(x0_self, None)],
+                                 use_running_average=True,
+                                 return_affine=True)
+                h_self = jax.nn.relu(res[0])
+            h_edge_t = edge_hidden(etype, head_t, tail_t, w0, b0, a, b,
+                                   n_rel, n_ntype, cdt, interp)
+            return (h_edge_t, h_self), (k1, b1)
+
+        multi = isinstance(edge_feat, (tuple, list))
+        parts = list(edge_feat) if multi else [(edge_feat, weight)]
+        hs = bn([(lin0(f), w) for f, w in parts],
+                use_running_average=not train)
         hs = [jax.nn.relu(h) for h in hs]
         if return_hidden:
             return (hs if multi else hs[0]), (k1, b1)
-        cdt = self.dtype
         outs = [jnp.dot(h.astype(cdt), k1.astype(cdt)) + b1.astype(cdt)
                 for h in hs]
         return outs if multi else outs[0]
@@ -145,6 +195,7 @@ class GATConvE(nn.Module):
                                          # composed into key_e/msg_e so the
                                          # (rows, D) linear_1 output never
                                          # materializes (pallas path only)
+        emb_transposed: bool = False,    # edge_emb already rides (G, D, E)
     ):
         d, h = self.emb_dim, self.head_count
         assert d % h == 0
@@ -183,7 +234,8 @@ class GATConvE(nn.Module):
                 pallas_relational_gat_projected_chained,
             )
 
-            e_in = edge_emb.shape[-1]
+            e_in = edge_emb.shape[1] if emb_transposed \
+                else edge_emb.shape[-1]
             wke, bke = _ProjParams(e_in, d, self.init_std, name="key_e")()
             wme, bme = _ProjParams(e_in, d, self.init_std, name="msg_e")()
             cdt = self.dtype
@@ -206,9 +258,18 @@ class GATConvE(nn.Module):
                 # instead of an add_any over k layers (see the chained op).
                 emb_p, src_p, dst_p, mask_p = chain_in
             else:
-                _, src_p, dst_p, mask_p, emb_p = pad_edges_to_tile(
+                # the fused op takes the edge embedding TRANSPOSED (G, D, E)
+                # — the layout the kernels consume natively (and the fused
+                # edge-encoder kernel produces natively).
+                t_e, src_p, dst_p, mask_p = pad_edges_to_tile(
                     edge_src, edge_dst, edge_mask.astype(nq.dtype),
-                    edge_emb.astype(cdt), dtype=nq.dtype)
+                    dtype=nq.dtype)
+                emb_p = edge_emb.astype(cdt) if emb_transposed \
+                    else jnp.swapaxes(edge_emb.astype(cdt), 1, 2)
+                E_pad = src_p.shape[1]
+                if E_pad != emb_p.shape[2]:
+                    emb_p = jnp.pad(
+                        emb_p, ((0, 0), (0, 0), (0, E_pad - emb_p.shape[2])))
             args = (nq, key_x_d(x), msg_x_d(x), emb_p,
                     wke, bke, wme, bme,
                     proj(self_emb, wke, bke), proj(self_emb, wme, bme),
@@ -329,49 +390,53 @@ class QAGNNMessagePassing(nn.Module):
         # Features: [one_hot(rel, n_etype+1) ‖ one_hot(head_t,4) ‖ one_hot(tail_t,4)]
         # (reference :419-433); self-loops use relation index n_etype and
         # head==tail==own type (reference :420-421,428-429).
-        # One-hot features are exact in any float dtype — build them directly
-        # in the compute dtype so the (G*E, 47) feature block never
-        # materializes at f32 on the bf16 hot path.
         fdt = self.dtype
         E = edge_src.shape[1]
-        e_rel = jax.nn.one_hot(edge_type, self.n_etype + 1, dtype=fdt)
         head_t = jnp.take_along_axis(node_type, edge_src, axis=1)
         tail_t = jnp.take_along_axis(node_type, edge_dst, axis=1)
-        e_head = jax.nn.one_hot(head_t, self.n_ntype, dtype=fdt)
-        e_tail = jax.nn.one_hot(tail_t, self.n_ntype, dtype=fdt)
-        edge_feat = jnp.concatenate([e_rel, e_head, e_tail], axis=-1)
 
         s_rel = jnp.zeros((G, N, self.n_etype + 1), fdt) \
             .at[:, :, self.n_etype].set(1.0)
         s_type = jax.nn.one_hot(node_type, self.n_ntype, dtype=fdt)
         self_feat = jnp.concatenate([s_rel, s_type, s_type], axis=-1)
+        nfeat = self_feat.shape[-1]
 
         # One BN statistic over the union of (masked) edge rows and all
         # self-loop rows, exactly the reference's E+N-row batch (reference
-        # :431-433) — computed WITHOUT concatenating the two row arrays
-        # (multi-part EdgeEncoder), so no concat copy and no output slices.
-        # k EMA updates are folded into one call (num_updates=k).
-        # On the fused pallas path the encoder stops BEFORE linear_1
-        # (return_hidden): the layers compose W1/b1 into their in-kernel
-        # key_e/msg_e projections, so the (G*E, D) linear_1 output and its
-        # big fwd/bwd GEMMs never exist.
+        # :431-433). k EMA updates are folded into one call (num_updates=k).
+        # Fused pallas path: the edge rows' one-hot features never
+        # materialize — linear_0+BN+ReLU run in the pallas edge-encoder
+        # kernels (analytic BN moments), h comes back TRANSPOSED (G, D,
+        # E_pad), and linear_1 is composed into the GAT kernels' key_e /
+        # msg_e projections (emb_proj).
         use_fused = ((self.backend or default_backend()) == "pallas"
                      and not return_alpha)
-        nfeat = edge_feat.shape[-1]
         enc = EdgeEncoder(hidden_size=D, num_updates=self.k,
                           init_std=self.init_std, dtype=self.dtype,
                           name="edge_encoder")
-        enc_parts = [(edge_feat.reshape(G * E, nfeat),
-                      edge_mask.reshape(-1).astype(H.dtype)),
-                     (self_feat.reshape(G * N, nfeat), None)]
         emb_proj = None
         if use_fused:
             (edge_emb, self_emb), emb_proj = enc(
-                enc_parts, train=train, return_hidden=True)
+                self_feat.reshape(G * N, nfeat), train=train,
+                return_hidden=True,
+                edge_ints=(edge_type, head_t, tail_t, edge_mask),
+                n_rel=self.n_etype + 1, n_ntype=self.n_ntype)
+            # edge_emb: (G, D, E_pad) transposed hidden states
+            self_emb = self_emb.reshape(G, N, D)
         else:
-            edge_emb, self_emb = enc(enc_parts, train=train)
-        edge_emb = edge_emb.reshape(G, E, D)
-        self_emb = self_emb.reshape(G, N, D)
+            # One-hot features are exact in any float dtype — build them
+            # directly in the compute dtype so the (G*E, 47) block never
+            # materializes at f32 on the bf16 hot path.
+            e_rel = jax.nn.one_hot(edge_type, self.n_etype + 1, dtype=fdt)
+            e_head = jax.nn.one_hot(head_t, self.n_ntype, dtype=fdt)
+            e_tail = jax.nn.one_hot(tail_t, self.n_ntype, dtype=fdt)
+            edge_feat = jnp.concatenate([e_rel, e_head, e_tail], axis=-1)
+            edge_emb, self_emb = enc(
+                [(edge_feat.reshape(G * E, nfeat),
+                  edge_mask.reshape(-1).astype(H.dtype)),
+                 (self_feat.reshape(G * N, nfeat), None)], train=train)
+            edge_emb = edge_emb.reshape(G, E, D)
+            self_emb = self_emb.reshape(G, N, D)
 
         # --- k GNN layers (reference mp_helper :45-50) --------------------
         # With return_alpha, every layer also yields its per-edge/self-loop
@@ -392,7 +457,8 @@ class QAGNNMessagePassing(nn.Module):
                 jnp.concatenate([X, node_extra], axis=2),
                 edge_src, edge_dst, edge_mask, edge_emb, self_emb,
                 train=train, return_alpha=return_alpha,
-                chain_in=chain, chain_out=chain_out, emb_proj=emb_proj)
+                chain_in=chain, chain_out=chain_out, emb_proj=emb_proj,
+                emb_transposed=use_fused)
             if return_alpha:
                 X, layer_alphas = X
                 alphas.append(layer_alphas)

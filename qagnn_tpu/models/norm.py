@@ -40,9 +40,18 @@ class MaskedBatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, weight: Array | None = None,
-                 use_running_average: bool | None = None):
-        """x: (rows, features), or a list of (x_i, weight_i) parts sharing
-        ONE statistic. weight: (rows,) nonneg — 0 drops a row from stats.
+                 use_running_average: bool | None = None,
+                 return_affine: bool = False):
+        """x: (rows, features), or a list of parts sharing ONE statistic.
+
+        A part is (x_i, weight_i) — rows with an optional stat weight
+        ((rows,) nonneg; 0 drops a row from stats) — or
+        ("moments", s1, s2, n_rows): pre-reduced f32 row sums sum(x),
+        sum(x^2) and a row count contributed to the statistic WITHOUT any
+        row array existing (the fused edge-encoder path computes them in
+        closed form from the one-hot feature structure; keeping them
+        differentiable in the upstream parameters is the caller's job).
+        Moment parts yield None in the output list.
 
         All rows are normalized/affine-transformed; only statistics are
         masked. The multi-part form computes the moments over the union of
@@ -51,12 +60,20 @@ class MaskedBatchNorm(nn.Module):
         the reference (reference modeling/modeling_qagnn.py:431-433), but
         materializing their concat (and re-slicing the output) costs two
         row-array copies per step on TPU.
+
+        return_affine: also return the folded per-feature affine
+        (a, b) = (scale*inv, bias - mean*scale*inv) in f32 — the form a
+        fused kernel applies as x*a + b.
         """
         use_ra = nn.merge_param(
             "use_running_average", self.use_running_average, use_running_average)
 
         multi = isinstance(x, (tuple, list))
         parts = list(x) if multi else [(x, weight)]
+        moment_parts = [p for p in parts
+                        if isinstance(p[0], str) and p[0] == "moments"]
+        array_parts = [p for p in parts
+                       if not (isinstance(p[0], str) and p[0] == "moments")]
 
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
@@ -78,7 +95,7 @@ class MaskedBatchNorm(nn.Module):
         else:
             n = jnp.asarray(0.0, f32)
             s1 = jnp.zeros(self.features, f32)
-            for xi, wi in parts:
+            for xi, wi in array_parts:
                 x32 = xi.astype(f32)
                 if wi is None:
                     n = n + x32.shape[0]
@@ -87,14 +104,31 @@ class MaskedBatchNorm(nn.Module):
                     w = wi.astype(f32)
                     n = n + jnp.sum(w)
                     s1 = s1 + jnp.sum(x32 * w[:, None], axis=0)
+            for _, m1, m2, mn in moment_parts:
+                n = n + mn
+                s1 = s1 + m1
             n = jnp.maximum(n, 1.0)
             mean = s1 / n
-            s2 = jnp.zeros(self.features, f32)
-            for xi, wi in parts:
-                d2 = jnp.square(xi.astype(f32) - mean)
-                s2 = s2 + (jnp.sum(d2, axis=0) if wi is None
-                           else jnp.sum(d2 * wi.astype(f32)[:, None], axis=0))
-            var = s2 / n
+            if moment_parts:
+                # one-pass variance: E[x^2] - mean^2 (the pre-reduced
+                # moments carry sum(x^2); exact-f32 safe at these scales)
+                s2 = jnp.zeros(self.features, f32)
+                for xi, wi in array_parts:
+                    x2 = jnp.square(xi.astype(f32))
+                    s2 = s2 + (jnp.sum(x2, axis=0) if wi is None
+                               else jnp.sum(x2 * wi.astype(f32)[:, None],
+                                            axis=0))
+                for _, m1, m2, mn in moment_parts:
+                    s2 = s2 + m2
+                var = jnp.maximum(s2 / n - jnp.square(mean), 0.0)
+            else:
+                s2 = jnp.zeros(self.features, f32)
+                for xi, wi in array_parts:
+                    d2 = jnp.square(xi.astype(f32) - mean)
+                    s2 = s2 + (jnp.sum(d2, axis=0) if wi is None
+                               else jnp.sum(d2 * wi.astype(f32)[:, None],
+                                            axis=0))
+                var = s2 / n
 
             if not self.is_initializing():
                 unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
@@ -120,5 +154,11 @@ class MaskedBatchNorm(nn.Module):
             b = (bias - mean * inv * scale).astype(xi.dtype)
             return xi * a + b
 
-        outs = [norm(xi) for xi, _ in parts]
-        return outs if multi else outs[0]
+        outs = [None if isinstance(p[0], str) else norm(p[0])
+                for p in parts]
+        result = outs if multi else outs[0]
+        if return_affine:
+            a32 = inv * scale
+            b32 = bias - mean * a32
+            return result, (a32, b32)
+        return result

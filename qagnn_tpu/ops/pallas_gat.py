@@ -253,10 +253,12 @@ def _h_from_hd(sel, x_hdt):
 
 
 def _proj_ft(w_ref, emb_t, cdt):
-    """In-kernel edge GEMM, transposed: (D, HD) x (T, D) -> (HD, T) f32."""
+    """In-kernel edge GEMM: (D, HD) x (D, T) -> (HD, T) f32 — the edge
+    embedding rides TRANSPOSED (G, D, E), so its tiles are MXU-native for
+    this contraction and match the producer kernel's native layout."""
     return jax.lax.dot_general(
         w_ref[...].astype(cdt), emb_t,
-        dimension_numbers=(((0,), (1,)), ((), ())),
+        dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
 
@@ -719,7 +721,7 @@ def _bwd1_proj_kernel(gc_ref, nm_ref, emb_ref, wme_ref, bme_ref,
     # here (r3 tried this and hit the then-16 MB vmem cap; the raised cap
     # makes it free).
     oh_s, oh_d = _tile_onehots(src_ref, dst_ref, None, n_nodes, cdt)
-    emb_t = emb_ref[0]                                           # (T, D) cdt
+    emb_t = emb_ref[0]                                           # (D, T) cdt
     g_dst = _gather_ft(oh_d, gc_ref[0])                          # (HD, T)
     emb_bias = _proj_ft(wme_ref, emb_t, cdt) + bme_ref[...].astype(f32)
     msg = _gather_ft(oh_s, nm_ref[0]) + emb_bias                 # (HD, T)
@@ -727,16 +729,16 @@ def _bwd1_proj_kernel(gc_ref, nm_ref, emb_ref, wme_ref, bme_ref,
     alpha_ht = ee * _gather_ht(oh_s, scale_ref[0], cdt)          # (H, T)
     d_msg = _hd_from_h(sel, alpha_ht, cdt) * g_dst               # (HD, T) f32
     d_msg_c = d_msg.astype(cdt)
-    # d(edge_emb) via this path: W_me contracted over HD -> (T, D)
+    # d(edge_emb) via this path: W_me contracted over HD -> (D, T)
     demb_m = jax.lax.dot_general(
-        d_msg_c, wme_ref[...].astype(cdt),
-        dimension_numbers=(((0,), (1,)), ((), ())),
-        preferred_element_type=f32)                              # (T, D)
+        wme_ref[...].astype(cdt), d_msg_c,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32)                              # (D, T)
     if has_carry:
         demb_m = demb_m + carry_ref[0].astype(f32)
     demb_ref[0] = demb_m.astype(demb_ref.dtype)
     dwme_ref[...] += jax.lax.dot_general(
-        emb_t, d_msg_c, dimension_numbers=(((0,), (1,)), ((), ())),
+        emb_t, d_msg_c, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=f32)                              # (D, HD)
     dbme_ref[...] += jnp.sum(d_msg, axis=1, keepdims=True)       # (HD, 1)
     dnm_ref[0] += _scatter_ft(oh_s, d_msg_c)
@@ -790,13 +792,13 @@ def _bwd2_proj_kernel(nq_ref, nk_ref, emb_ref, wke_ref, bke_ref,
     dekb = ds_hd * q_src                                         # (HD, T) f32
     dekb_c = dekb.astype(cdt)
     demb_k = jax.lax.dot_general(
-        dekb_c, wke_ref[...].astype(cdt),
-        dimension_numbers=(((0,), (1,)), ((), ())),
-        preferred_element_type=f32)                              # (T, D)
+        wke_ref[...].astype(cdt), dekb_c,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32)                              # (D, T)
     demb_ref[0] = (dembm_ref[0].astype(f32) + demb_k) \
         .astype(demb_ref.dtype)
     dwke_ref[...] += jax.lax.dot_general(
-        emb_t, dekb_c, dimension_numbers=(((0,), (1,)), ((), ())),
+        emb_t, dekb_c, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=f32)                              # (D, HD)
     dbke_ref[...] += jnp.sum(dekb, axis=1, keepdims=True)        # (HD, 1)
     dnq_ref[0] += _scatter_ft(oh_s, (ds_hd * key).astype(cdt))
@@ -807,7 +809,8 @@ def _proj_fwd_impl(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
                    src, dst, mask, heads, interpret):
     G, N, HD = nq.shape
     E = src.shape[1]
-    D = edge_emb.shape[2]
+    D = edge_emb.shape[1]          # edge_emb rides transposed: (G, D, E)
+    assert edge_emb.shape == (G, D, E), edge_emb.shape
     tile_e = _tile_for(E, nq.dtype)
     assert E % tile_e == 0, (E, tile_e)
     f32 = jnp.float32
@@ -815,7 +818,7 @@ def _proj_fwd_impl(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
 
     node_spec = pl.BlockSpec((1, N, HD), lambda g, t: (g, 0, 0),
                              memory_space=pltpu.VMEM)
-    emb_spec = pl.BlockSpec((1, tile_e, D), lambda g, t: (g, t, 0),
+    emb_spec = pl.BlockSpec((1, D, tile_e), lambda g, t: (g, 0, t),
                             memory_space=pltpu.VMEM)
     idx_spec = pl.BlockSpec((1, 1, tile_e), lambda g, t: (g, 0, t),
                             memory_space=pltpu.VMEM)
@@ -887,7 +890,7 @@ def _proj_bwd_impl(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
                    heads, interpret, carry=None):
     G, N, HD = nq.shape
     E = src.shape[1]
-    D = edge_emb.shape[2]
+    D = edge_emb.shape[1]          # transposed: (G, D, E)
     tile_e = _tile_for(E, nq.dtype)
     assert E % tile_e == 0, (E, tile_e)
     f32 = jnp.float32
@@ -896,7 +899,7 @@ def _proj_bwd_impl(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
 
     node_spec = pl.BlockSpec((1, N, HD), lambda g_, t: (g_, 0, 0),
                              memory_space=pltpu.VMEM)
-    emb_spec = pl.BlockSpec((1, tile_e, D), lambda g_, t: (g_, t, 0),
+    emb_spec = pl.BlockSpec((1, D, tile_e), lambda g_, t: (g_, 0, t),
                             memory_space=pltpu.VMEM)
     idx_spec = pl.BlockSpec((1, 1, tile_e), lambda g_, t: (g_, 0, t),
                             memory_space=pltpu.VMEM)
@@ -941,7 +944,7 @@ def _proj_bwd_impl(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
         grid=grid,
         in_specs=b1_specs,
         out_specs=(emb_spec, he_spec, nh_spec, node_spec, w_spec, b_spec),
-        out_shape=(jax.ShapeDtypeStruct((G, E, D), edge_emb.dtype),
+        out_shape=(jax.ShapeDtypeStruct((G, D, E), edge_emb.dtype),
                    jax.ShapeDtypeStruct((G, heads, E), f32),
                    jax.ShapeDtypeStruct((G, N, heads), f32),
                    jax.ShapeDtypeStruct((G, N, HD), f32),
@@ -974,7 +977,7 @@ def _proj_bwd_impl(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
                   he_spec, h1_spec, he_spec, nh_spec, nh_spec,
                   idx_spec, idx_spec, idx_spec, emb_spec],
         out_specs=(emb_spec, node_spec, node_spec, w_spec, b_spec),
-        out_shape=(jax.ShapeDtypeStruct((G, E, D), edge_emb.dtype),
+        out_shape=(jax.ShapeDtypeStruct((G, D, E), edge_emb.dtype),
                    jax.ShapeDtypeStruct((G, N, HD), f32),
                    jax.ShapeDtypeStruct((G, N, HD), f32),
                    jax.ShapeDtypeStruct((D, HD), f32),
@@ -999,7 +1002,9 @@ def pallas_relational_gat_projected(nq, nk, nm, edge_emb, w_ke, b_ke,
                                     heads, interpret=False):
     """Fused sparse attention core with in-kernel edge-bias projections.
 
-    edge_emb: (G, E, D) shared edge embeddings; w_ke/b_ke, w_me/b_me:
+    edge_emb: (G, D, E) TRANSPOSED shared edge embeddings (features on
+    the sublane axis — the encoder produces this layout natively and
+    the in-kernel GEMMs consume it without relayout); w_ke/b_ke, w_me/b_me:
     the key_e / msg_e projection parameters ((D, HD) / (HD,)) applied
     per edge tile on the MXU inside the kernels. Other args as
     pallas_relational_gat. skb/smb are the ALREADY-projected self-loop

@@ -161,9 +161,10 @@ def _proj_call(proj_inputs, tail):
     src, dst, mask = tail
     skb = self_emb @ w_ke + b_ke
     smb = self_emb @ w_me + b_me
+    # the fused op takes the edge embedding transposed: (G, D, E)
     return pallas_relational_gat_projected(
-        nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
-        src, dst, mask, HEADS, True)
+        nq, nk, nm, jnp.swapaxes(edge_emb, 1, 2), w_ke, b_ke, w_me, b_me,
+        skb, smb, src, dst, mask, HEADS, True)
 
 
 def test_projected_kernel_matches_oracle(inputs, proj_inputs):
