@@ -1,0 +1,62 @@
+"""Pre-seed the persistent XLA/Mosaic compile cache for the bench shapes.
+
+A FRESH environment pays the remote-tunneled Mosaic+XLA cold compile of
+the full Pallas train step (minutes to ~20 min, service-dominated) before
+its first real step. This script compiles the two hot programs — the
+GNN-only bench step and the real driver train step — into the persistent
+cache (/tmp/qagnn_tpu_jax_cache) WITHOUT timing anything, so subsequent
+`bench.py`, `cli.train`, or test runs start in seconds.
+
+    python tools/seed_compile_cache.py           # both modes, bench shapes
+    python tools/seed_compile_cache.py --small   # tiny-shape smoke
+
+The bench itself records the cache state it observed (`compile_cache:
+cold|warm`) and its own `compile_s`, so cold-vs-warm cost stays tracked.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true")
+    ap.add_argument("--skip-driver", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/qagnn_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import bench
+
+    class A:
+        backend = None
+        dtype = "bfloat16"
+        iters = 6
+        small = args.small
+        edges = None
+        eval = False
+        mode = "gnn"
+        mesh = None
+        scaling = False
+        platform = None
+        no_driver = False
+
+    for mode, runner in (("gnn", bench.run_gnn), ("driver", bench.run_driver)):
+        if mode == "driver" and args.skip_driver:
+            continue
+        t0 = time.perf_counter()
+        _, compile_s = runner(A(), None)
+        print(f"seeded {mode}: compile {compile_s:.1f}s "
+              f"(total {time.perf_counter() - t0:.1f}s)", flush=True)
+    print(f"cache dir: /tmp/qagnn_tpu_jax_cache "
+          f"({len(os.listdir('/tmp/qagnn_tpu_jax_cache'))} entries)")
+
+
+if __name__ == "__main__":
+    main()
