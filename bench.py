@@ -355,6 +355,11 @@ def main():
     # --small smoke runs, mesh/scaling sweeps, and --no_driver.
     if (args.mode == "gnn" and not args.eval and not args.small
             and mesh is None and not args.no_driver):
+        # the gnn run above already seeded the persistent cache (shared
+        # kernel shapes), so sample the cache state again — on a cold host
+        # driver_compile_s is a partially-warm number, and the JSON says so
+        extras["driver_compile_cache"] = (
+            "warm" if glob.glob("/tmp/qagnn_tpu_jax_cache/*") else "cold")
         dval, dcomp = run_driver(args, mesh)
         extras["driver_edges_per_s"] = round(dval, 1)
         extras["driver_vs_gnn"] = round(dval / value, 3)

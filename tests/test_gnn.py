@@ -361,3 +361,45 @@ def test_edge_encoder_bf16_close_to_f32():
         assert a.dtype == jnp.float32   # running stats stay f32
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=3e-2, atol=3e-2)
+
+
+def test_pallas_backend_train_mode_matches_scatter(setup):
+    """train=True is what cli.train/bench actually run, and on the pallas
+    path it exercises the FULLY FUSED edge encoder: edge_feature_moments +
+    analytic_edge_moments closed-form BatchNorm batch statistics and the
+    multi-part 'moments' MaskedBatchNorm. Values, gradients AND the
+    updated BN running stats must all match the scatter oracle's explicit
+    two-pass row statistics."""
+    mp, variables, graph, H = setup
+    args = (jnp.asarray(H), graph.node_types, graph.node_scores,
+            graph.edge_src, graph.edge_dst, graph.edge_type, graph.edge_mask)
+
+    def run(backend):
+        m = QAGNNMessagePassing(k=K, n_ntype=N_NTYPE, n_etype=N_ETYPE,
+                                hidden_size=D, dropout=0.0, head_count=HEADS,
+                                backend=backend)
+
+        def loss(params):
+            out, upd = m.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                *args, train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(0)})
+            return jnp.sum(out ** 2), upd["batch_stats"]
+
+        (val, stats), grads = jax.value_and_grad(loss, has_aux=True)(
+            variables["params"])
+        return val, stats, grads
+
+    v1, s1, g1 = run("pallas")
+    v2, s2, g2 = run("scatter")
+    np.testing.assert_allclose(float(v1), float(v2), rtol=2e-4)
+    flat1 = jax.tree_util.tree_flatten_with_path(s1)[0]
+    for (path, a), b in zip(flat1, jax.tree.leaves(s2)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5,
+            err_msg="batch_stats " + jax.tree_util.keystr(path))
+    flatg = jax.tree_util.tree_flatten_with_path(g1)[0]
+    for (path, a), b in zip(flatg, jax.tree.leaves(g2)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4,
+            err_msg=jax.tree_util.keystr(path))

@@ -36,8 +36,12 @@ def run_mesh(mesh):
         [sys.executable, os.path.join(REPO, "bench.py"), "--platform", "cpu",
          "--small", "--iters", "10", "--mesh", mesh, "--scaling"],
         capture_output=True, text=True, timeout=900, env=env)
-    line = proc.stdout.strip().splitlines()[-1]
-    return json.loads(line)
+    lines = proc.stdout.strip().splitlines()
+    if proc.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"bench.py --mesh {mesh} failed (rc={proc.returncode}):\n"
+            f"{proc.stderr[-2000:]}")
+    return json.loads(lines[-1])
 
 
 def main():

@@ -54,8 +54,9 @@ def main():
         _, compile_s = runner(A(), None)
         print(f"seeded {mode}: compile {compile_s:.1f}s "
               f"(total {time.perf_counter() - t0:.1f}s)", flush=True)
-    print(f"cache dir: /tmp/qagnn_tpu_jax_cache "
-          f"({len(os.listdir('/tmp/qagnn_tpu_jax_cache'))} entries)")
+    cache = "/tmp/qagnn_tpu_jax_cache"
+    n = len(os.listdir(cache)) if os.path.isdir(cache) else 0
+    print(f"cache dir: {cache} ({n} entries)")
 
 
 if __name__ == "__main__":

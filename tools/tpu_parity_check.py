@@ -155,10 +155,13 @@ def check_projected(small: bool = False, dtype: str = "bfloat16") -> bool:
         jax.random.PRNGKey(0), *args, train=False)
 
     def loss(backend, mdt, params, on_cpu=False):
+        # train=True: exercises the production path end-to-end incl. the
+        # fused encoder's analytic BatchNorm batch statistics
         def f(p):
-            out = build(backend, mdt).apply(
+            out, _ = build(backend, mdt).apply(
                 {"params": p, "batch_stats": variables["batch_stats"]},
-                *args, train=False)
+                *args, train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(1)})
             return jnp.sum(out.astype(jnp.float32) ** 2)
 
         if on_cpu:
