@@ -200,6 +200,18 @@ def train(cfg: TrainConfig) -> dict:
     with open(log_path, "w") as f:
         f.write("step,dev_acc,test_acc\n")
 
+    if max(1, cfg.mesh_model) > 1:
+        from qagnn_tpu.ops.gat_attention import default_backend
+        if (cfg.gnn_backend or default_backend()) == "pallas":
+            # GSPMD cannot partition a Mosaic custom call, so under
+            # model-axis edge partitioning the declarative mesh path runs
+            # the XLA onehot backend (auto-partitioned with the right
+            # psums). The fused kernels' explicit edge-partitioned form
+            # lives in qagnn_tpu/parallel/edge_shard_pallas.py.
+            print("| mesh_model>1: gnn_backend -> onehot (GSPMD cannot "
+                  "partition the fused Pallas kernels) |", flush=True)
+            cfg.gnn_backend = "onehot"
+
     dataset, model, cp_emb, pretrained_encoder = build_model_and_data(cfg)
     if pretrained_encoder is None and cfg.encoder != "tiny":
         print(f"WARNING: encoder {cfg.encoder!r} starts from RANDOM weights "

@@ -805,54 +805,90 @@ def _bwd2_proj_kernel(nq_ref, nk_ref, emb_ref, wke_ref, bke_ref,
     dnk_ref[0] += _scatter_ft(oh_d, dekb_c)
 
 
-def _proj_fwd_impl(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
-                   src, dst, mask, heads, interpret):
+def _proj_specs(G, N, HD, D, tile_e, heads):
+    """BlockSpec family shared by the projected passes (single-chip impls
+    AND the edge-sharded shard_map wrappers in
+    qagnn_tpu.parallel.edge_shard_pallas)."""
+    V = pltpu.VMEM
+    return {
+        "node": pl.BlockSpec((1, N, HD), lambda g, t: (g, 0, 0),
+                             memory_space=V),
+        "emb": pl.BlockSpec((1, D, tile_e), lambda g, t: (g, 0, t),
+                            memory_space=V),
+        "idx": pl.BlockSpec((1, 1, tile_e), lambda g, t: (g, 0, t),
+                            memory_space=V),
+        "he": pl.BlockSpec((1, heads, tile_e), lambda g, t: (g, 0, t),
+                           memory_space=V),
+        "nh": pl.BlockSpec((1, N, heads), lambda g, t: (g, 0, 0),
+                           memory_space=V),
+        "n1": pl.BlockSpec((1, N, 1), lambda g, t: (g, 0, 0),
+                           memory_space=V),
+        "h1": pl.BlockSpec((1, heads, 1), lambda g, t: (g, 0, 0),
+                           memory_space=V),
+        "hn": pl.BlockSpec((1, heads, N), lambda g, t: (g, 0, 0),
+                           memory_space=V),
+        "w": pl.BlockSpec((D, HD), lambda g, t: (0, 0), memory_space=V),
+        "b": pl.BlockSpec((HD, 1), lambda g, t: (0, 0), memory_space=V),
+    }
+
+
+def _proj_dims(nq, edge_emb, src):
     G, N, HD = nq.shape
     E = src.shape[1]
     D = edge_emb.shape[1]          # edge_emb rides transposed: (G, D, E)
     assert edge_emb.shape == (G, D, E), edge_emb.shape
     tile_e = _tile_for(E, nq.dtype)
     assert E % tile_e == 0, (E, tile_e)
+    return G, N, HD, E, D, tile_e
+
+
+def _proj_pass_a(nq, nk, edge_emb, w_ke, b_ke, src, dst, mask, heads,
+                 interpret):
+    """Merged scores + online denominators over (this shard's) edges."""
+    G, N, HD, E, D, tile_e = _proj_dims(nq, edge_emb, src)
+    sp = _proj_specs(G, N, HD, D, tile_e, heads)
     f32 = jnp.float32
-    grid = (G, E // tile_e)
-
-    node_spec = pl.BlockSpec((1, N, HD), lambda g, t: (g, 0, 0),
-                             memory_space=pltpu.VMEM)
-    emb_spec = pl.BlockSpec((1, D, tile_e), lambda g, t: (g, 0, t),
-                            memory_space=pltpu.VMEM)
-    idx_spec = pl.BlockSpec((1, 1, tile_e), lambda g, t: (g, 0, t),
-                            memory_space=pltpu.VMEM)
-    he_spec = pl.BlockSpec((1, heads, tile_e), lambda g, t: (g, 0, t),
-                           memory_space=pltpu.VMEM)
-    nh_spec = pl.BlockSpec((1, N, heads), lambda g, t: (g, 0, 0),
-                           memory_space=pltpu.VMEM)
-    n1_spec = pl.BlockSpec((1, N, 1), lambda g, t: (g, 0, 0),
-                           memory_space=pltpu.VMEM)
-    w_spec = pl.BlockSpec((D, HD), lambda g, t: (0, 0),
-                          memory_space=pltpu.VMEM)
-    b_spec = pl.BlockSpec((HD, 1), lambda g, t: (0, 0),
-                          memory_space=pltpu.VMEM)
-
-    src3, dst3, mask3 = src[:, None, :], dst[:, None, :], mask[:, None, :]
-    b_ke2, b_me2 = b_ke.reshape(HD, 1), b_me.reshape(HD, 1)
-
-    h1_spec = pl.BlockSpec((1, heads, 1), lambda g, t: (g, 0, 0),
-                           memory_space=pltpu.VMEM)
-    hn_spec = pl.BlockSpec((1, heads, N), lambda g, t: (g, 0, 0),
-                           memory_space=pltpu.VMEM)
-    # pass A (merged): logits + online-rescaled denominators/degrees
-    scores, m_edge, denom_hn, deg = pl.pallas_call(
-        functools.partial(_scores_proj_kernel, n_nodes=N, hd=HD, heads=heads),
-        grid=grid,
-        in_specs=[node_spec, node_spec, emb_spec, w_spec, b_spec,
-                  idx_spec, idx_spec, idx_spec],
-        out_specs=(he_spec, h1_spec, hn_spec, n1_spec),
+    return pl.pallas_call(
+        functools.partial(_scores_proj_kernel, n_nodes=N, hd=HD,
+                          heads=heads),
+        grid=(G, E // tile_e),
+        in_specs=[sp["node"], sp["node"], sp["emb"], sp["w"], sp["b"],
+                  sp["idx"], sp["idx"], sp["idx"]],
+        out_specs=(sp["he"], sp["h1"], sp["hn"], sp["n1"]),
         out_shape=(jax.ShapeDtypeStruct((G, heads, E), f32),
                    jax.ShapeDtypeStruct((G, heads, 1), f32),
                    jax.ShapeDtypeStruct((G, heads, N), f32),
                    jax.ShapeDtypeStruct((G, N, 1), f32)),
         interpret=interpret,
-    )(nq, nk, edge_emb, w_ke, b_ke2, src3, dst3, mask3)
+    )(nq, nk, edge_emb, w_ke, b_ke.reshape(HD, 1),
+      src[:, None, :], dst[:, None, :], mask[:, None, :])
+
+
+def _proj_pass_c(nm, edge_emb, w_me, b_me, scores, gmax, scale,
+                 src, dst, mask, heads, interpret):
+    """Weighted aggregation partials over (this shard's) edges."""
+    G, N, HD, E, D, tile_e = _proj_dims(nm, edge_emb, src)
+    sp = _proj_specs(G, N, HD, D, tile_e, heads)
+    return pl.pallas_call(
+        functools.partial(_aggr_proj_kernel, n_nodes=N, hd=HD, heads=heads),
+        grid=(G, E // tile_e),
+        in_specs=[sp["node"], sp["emb"], sp["w"], sp["b"], sp["he"],
+                  sp["h1"], sp["nh"], sp["idx"], sp["idx"], sp["idx"]],
+        out_specs=sp["node"],
+        out_shape=jax.ShapeDtypeStruct((G, N, HD), jnp.float32),
+        interpret=interpret,
+    )(nm, edge_emb, w_me, b_me.reshape(HD, 1), scores, gmax[:, :, None],
+      scale, src[:, None, :], dst[:, None, :], mask[:, None, :])
+
+
+def _proj_fwd_impl(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
+                   src, dst, mask, heads, interpret):
+    f32 = jnp.float32
+    G, N, HD = nq.shape
+
+    # pass A (merged): logits + online-rescaled denominators/degrees
+    scores, m_edge, denom_hn, deg = _proj_pass_a(
+        nq, nk, edge_emb, w_ke, b_ke, src, dst, mask, heads, interpret)
 
     self_scores = _head_sum_xla(
         nq.astype(f32) * (nk + skb).astype(f32), heads)
@@ -868,16 +904,8 @@ def _proj_fwd_impl(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
     denom_raw = denom_edges + e_self
     scale = (deg + 1.0) / jnp.maximum(denom_raw, _DENOM_EPS)
 
-    gmax3 = gmax[:, :, None]
-    out_edges = pl.pallas_call(
-        functools.partial(_aggr_proj_kernel, n_nodes=N, hd=HD, heads=heads),
-        grid=grid,
-        in_specs=[node_spec, emb_spec, w_spec, b_spec, he_spec, h1_spec,
-                  nh_spec, idx_spec, idx_spec, idx_spec],
-        out_specs=node_spec,
-        out_shape=jax.ShapeDtypeStruct((G, N, HD), f32),
-        interpret=interpret,
-    )(nm, edge_emb, w_me, b_me2, scores, gmax3, scale, src3, dst3, mask3)
+    out_edges = _proj_pass_c(nm, edge_emb, w_me, b_me, scores, gmax, scale,
+                             src, dst, mask, heads, interpret)
 
     self_alpha = e_self * scale
     sm_full = (nm + smb).astype(f32)
@@ -885,38 +913,16 @@ def _proj_fwd_impl(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
     return out, scores, gmax, denom_raw, scale, e_self
 
 
-def _proj_bwd_impl(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
-                   src, dst, mask, scores, gmax, denom_raw, scale, e_self, g,
-                   heads, interpret, carry=None):
-    G, N, HD = nq.shape
-    E = src.shape[1]
-    D = edge_emb.shape[1]          # transposed: (G, D, E)
-    tile_e = _tile_for(E, nq.dtype)
-    assert E % tile_e == 0, (E, tile_e)
+def _proj_bwd_pass1(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
+                    src, dst, mask, scores, gmax, scale, e_self, g,
+                    heads, interpret, carry=None):
+    """Self-loop cotangent prologue (dense XLA) + backward pass 1 over
+    (this shard's) edges. Returns ((d_alpha_self, d_msg_self, dsmb),
+    (demb_m, dalpha, dscale_edges, dnm_edges, dw_me, db_me2))."""
+    G, N, HD, E, D, tile_e = _proj_dims(nq, edge_emb, src)
+    sp = _proj_specs(G, N, HD, D, tile_e, heads)
     f32 = jnp.float32
     cdt = nq.dtype
-    grid = (G, E // tile_e)
-
-    node_spec = pl.BlockSpec((1, N, HD), lambda g_, t: (g_, 0, 0),
-                             memory_space=pltpu.VMEM)
-    emb_spec = pl.BlockSpec((1, D, tile_e), lambda g_, t: (g_, 0, t),
-                            memory_space=pltpu.VMEM)
-    idx_spec = pl.BlockSpec((1, 1, tile_e), lambda g_, t: (g_, 0, t),
-                            memory_space=pltpu.VMEM)
-    he_spec = pl.BlockSpec((1, heads, tile_e), lambda g_, t: (g_, 0, t),
-                           memory_space=pltpu.VMEM)
-    nh_spec = pl.BlockSpec((1, N, heads), lambda g_, t: (g_, 0, 0),
-                           memory_space=pltpu.VMEM)
-    w_spec = pl.BlockSpec((D, HD), lambda g_, t: (0, 0),
-                          memory_space=pltpu.VMEM)
-    b_spec = pl.BlockSpec((HD, 1), lambda g_, t: (0, 0),
-                          memory_space=pltpu.VMEM)
-
-    src3, dst3, mask3 = src[:, None, :], dst[:, None, :], mask[:, None, :]
-    b_ke2, b_me2 = b_ke.reshape(HD, 1), b_me.reshape(HD, 1)
-    h1_spec = pl.BlockSpec((1, heads, 1), lambda g_, t: (g_, 0, 0),
-                           memory_space=pltpu.VMEM)
-    gmax3 = gmax[:, :, None]
 
     # dense self-loop cotangents (XLA)
     alpha_self = e_self * scale
@@ -925,25 +931,27 @@ def _proj_bwd_impl(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
     msg_self = (nm + smb).astype(f32)
     d_alpha_self = _head_sum_xla(msg_self * g, heads)
 
-    gc = g.astype(cdt)
     # carry: downstream layers' accumulated d_edge_emb (chained backward).
     # It enters pass 1 aliased with the demb output, so the cross-layer sum
     # is folded into the write this kernel already does.
-    b1_inputs = [gc, nm, edge_emb, w_me, b_me2, scores, gmax3, scale,
-                 src3, dst3, mask3]
-    b1_specs = [node_spec, node_spec, emb_spec, w_spec, b_spec,
-                he_spec, h1_spec, nh_spec, idx_spec, idx_spec, idx_spec]
+    b1_inputs = [g.astype(cdt), nm, edge_emb, w_me, b_me.reshape(HD, 1),
+                 scores, gmax[:, :, None], scale,
+                 src[:, None, :], dst[:, None, :], mask[:, None, :]]
+    b1_specs = [sp["node"], sp["node"], sp["emb"], sp["w"], sp["b"],
+                sp["he"], sp["h1"], sp["nh"], sp["idx"], sp["idx"],
+                sp["idx"]]
     b1_aliases = {}
     if carry is not None:
         b1_inputs.append(carry.astype(edge_emb.dtype))
-        b1_specs.append(emb_spec)
+        b1_specs.append(sp["emb"])
         b1_aliases = {11: 0}
-    demb_m, dalpha, dscale_edges, dnm_edges, dw_me, db_me2 = pl.pallas_call(
+    b1 = pl.pallas_call(
         functools.partial(_bwd1_proj_kernel, n_nodes=N, hd=HD, heads=heads,
                           has_carry=carry is not None),
-        grid=grid,
+        grid=(G, E // tile_e),
         in_specs=b1_specs,
-        out_specs=(emb_spec, he_spec, nh_spec, node_spec, w_spec, b_spec),
+        out_specs=(sp["emb"], sp["he"], sp["nh"], sp["node"], sp["w"],
+                   sp["b"]),
         out_shape=(jax.ShapeDtypeStruct((G, D, E), edge_emb.dtype),
                    jax.ShapeDtypeStruct((G, heads, E), f32),
                    jax.ShapeDtypeStruct((G, N, heads), f32),
@@ -953,8 +961,15 @@ def _proj_bwd_impl(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
         input_output_aliases=b1_aliases,
         interpret=interpret,
     )(*b1_inputs)
+    return (d_alpha_self, d_msg_self, dsmb), b1
 
-    dscale = dscale_edges + d_alpha_self * e_self
+
+def _proj_bwd_glue(nq, nk, skb, denom_raw, scale, e_self, d_alpha_self,
+                   dscale, HD):
+    """Close the softmax VJP chain (dense XLA): d_denom and the self-loop
+    score cotangents. `dscale` must already include ALL edges' per-source
+    contributions (psum'd across shards in the edge-partitioned path)."""
+    f32 = jnp.float32
     denom_c = jnp.maximum(denom_raw, _DENOM_EPS)
     gate = (denom_raw > _DENOM_EPS).astype(f32)
     d_denom = -(scale / denom_c) * dscale * gate
@@ -966,17 +981,25 @@ def _proj_bwd_impl(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
     dskb = (ds_self_hd * nqf).astype(skb.dtype)
     dnq_self = ds_self_hd * (nkf + skb.astype(f32))
     dnk_self = ds_self_hd * nqf
+    return d_denom, dskb, dnq_self, dnk_self
 
-    # demb_m rides INTO pass 2 aliased with its demb output: the kernel
-    # accumulates demb_m + demb_k tile-locally, so the layer's total edge
-    # cotangent costs one HBM array instead of two plus an XLA add.
-    d_edge_emb, dnq_edges, dnk_edges, dw_ke, db_ke2 = pl.pallas_call(
+
+def _proj_bwd_pass2(nq, nk, edge_emb, w_ke, b_ke, scores, gmax, dalpha,
+                    scale, d_denom, src, dst, mask, demb_m, heads,
+                    interpret):
+    """Backward pass 2 over (this shard's) edges; demb_m rides in ALIASED
+    with the demb output, so the layer's total edge cotangent costs one
+    HBM array instead of two plus an XLA add."""
+    G, N, HD, E, D, tile_e = _proj_dims(nq, edge_emb, src)
+    sp = _proj_specs(G, N, HD, D, tile_e, heads)
+    f32 = jnp.float32
+    return pl.pallas_call(
         functools.partial(_bwd2_proj_kernel, n_nodes=N, hd=HD, heads=heads),
-        grid=grid,
-        in_specs=[node_spec, node_spec, emb_spec, w_spec, b_spec,
-                  he_spec, h1_spec, he_spec, nh_spec, nh_spec,
-                  idx_spec, idx_spec, idx_spec, emb_spec],
-        out_specs=(emb_spec, node_spec, node_spec, w_spec, b_spec),
+        grid=(G, E // tile_e),
+        in_specs=[sp["node"], sp["node"], sp["emb"], sp["w"], sp["b"],
+                  sp["he"], sp["h1"], sp["he"], sp["nh"], sp["nh"],
+                  sp["idx"], sp["idx"], sp["idx"], sp["emb"]],
+        out_specs=(sp["emb"], sp["node"], sp["node"], sp["w"], sp["b"]),
         out_shape=(jax.ShapeDtypeStruct((G, D, E), edge_emb.dtype),
                    jax.ShapeDtypeStruct((G, N, HD), f32),
                    jax.ShapeDtypeStruct((G, N, HD), f32),
@@ -984,8 +1007,28 @@ def _proj_bwd_impl(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
                    jax.ShapeDtypeStruct((HD, 1), f32)),
         input_output_aliases={13: 0},
         interpret=interpret,
-    )(nq, nk, edge_emb, w_ke, b_ke2, scores, gmax3, dalpha, scale, d_denom,
-      src3, dst3, mask3, demb_m)
+    )(nq, nk, edge_emb, w_ke, b_ke.reshape(HD, 1), scores,
+      gmax[:, :, None], dalpha, scale, d_denom,
+      src[:, None, :], dst[:, None, :], mask[:, None, :], demb_m)
+
+
+def _proj_bwd_impl(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
+                   src, dst, mask, scores, gmax, denom_raw, scale, e_self, g,
+                   heads, interpret, carry=None):
+    (d_alpha_self, d_msg_self, dsmb), b1 = _proj_bwd_pass1(
+        nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
+        src, dst, mask, scores, gmax, scale, e_self, g, heads, interpret,
+        carry=carry)
+    demb_m, dalpha, dscale_edges, dnm_edges, dw_me, db_me2 = b1
+
+    HD = nq.shape[2]
+    dscale = dscale_edges + d_alpha_self * e_self
+    d_denom, dskb, dnq_self, dnk_self = _proj_bwd_glue(
+        nq, nk, skb, denom_raw, scale, e_self, d_alpha_self, dscale, HD)
+
+    d_edge_emb, dnq_edges, dnk_edges, dw_ke, db_ke2 = _proj_bwd_pass2(
+        nq, nk, edge_emb, w_ke, b_ke, scores, gmax, dalpha, scale, d_denom,
+        src, dst, mask, demb_m, heads, interpret)
 
     dnq = (dnq_edges + dnq_self).astype(nq.dtype)
     dnk = (dnk_edges + dnk_self).astype(nk.dtype)

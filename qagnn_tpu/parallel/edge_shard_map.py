@@ -20,7 +20,9 @@ visible, controllable, and benchmarkable:
 The reference has no distributed mode at all (its only multi-device feature
 is the serial 2-GPU split, reference qagnn.py:132-140); this is the
 TPU-native scaling story for the edge dimension — the graph analog of
-sequence parallelism.
+sequence parallelism. The PRODUCTION-kernel version of the same structure
+(the fused Pallas passes per shard, collectives between them) lives in
+qagnn_tpu.parallel.edge_shard_pallas.
 
 Semantics match qagnn_tpu.ops.gat_attention.relational_gat_attention_nodes
 (reference modeling/modeling_qagnn.py:411-484) up to psum reassociation;
