@@ -149,10 +149,19 @@ def run_gnn(args, mesh):
     edge_mask = jnp.ones((G, E), bool)
 
     train = not args.eval
+    backend = args.backend
+    if mesh is not None and mesh.shape.get("model", 1) > 1:
+        from qagnn_tpu.ops.gat_attention import default_backend
+        if (backend or default_backend()) == "pallas":
+            # GSPMD cannot partition the Mosaic custom call; the
+            # declarative mesh path runs the auto-partitionable onehot
+            # backend (the explicit fused-kernel partitioning lives in
+            # qagnn_tpu/parallel/edge_shard_pallas.py)
+            backend = "onehot"
     model = QAGNNMessagePassing(k=K, n_ntype=N_NTYPE, n_etype=N_ETYPE,
                                 hidden_size=D,
                                 dropout=0.2 if train else 0.0,
-                                backend=args.backend,
+                                backend=backend,
                                 dtype=getattr(jnp, args.dtype))
     variables = model.init(jax.random.PRNGKey(0), H, node_type, node_score,
                            edge_src, edge_dst, edge_type, edge_mask,
