@@ -403,3 +403,68 @@ def test_pallas_backend_train_mode_matches_scatter(setup):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4,
             err_msg=jax.tree_util.keystr(path))
+
+
+def test_pallas_multi_tile_chained_fused_path(setup, monkeypatch):
+    """Force n_tiles > 1 (TILE_E=4, E=16) through the WHOLE fused pallas
+    stack — grid-accumulated feature moments, the h kernel, chained /
+    aliased cotangents, in-kernel dW accumulators — in train mode, against
+    the scatter oracle."""
+    import qagnn_tpu.ops.pallas_gat as pgm
+    monkeypatch.setattr(pgm, "TILE_E", 4)
+
+    mp, variables, graph, H = setup
+    args = (jnp.asarray(H), graph.node_types, graph.node_scores,
+            graph.edge_src, graph.edge_dst, graph.edge_type, graph.edge_mask)
+
+    def run(backend):
+        m = QAGNNMessagePassing(k=K, n_ntype=N_NTYPE, n_etype=N_ETYPE,
+                                hidden_size=D, dropout=0.0, head_count=HEADS,
+                                backend=backend)
+
+        def loss(params):
+            out, _ = m.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                *args, train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(0)})
+            return jnp.sum(out ** 2)
+
+        return jax.value_and_grad(loss)(variables["params"])
+
+    v1, g1 = run("pallas")
+    v2, g2 = run("scatter")
+    np.testing.assert_allclose(float(v1), float(v2), rtol=2e-4)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-4)
+
+
+def test_pallas_ragged_edge_budget_fused_path(monkeypatch):
+    """E not divisible by the kernel tile: the fused encoder pads its
+    (G, D, E) output and GATConvE's index padding must agree, values
+    matching the scatter oracle."""
+    import qagnn_tpu.ops.pallas_gat as pgm
+    monkeypatch.setattr(pgm, "TILE_E", 8)
+
+    rng = np.random.default_rng(11)
+    G_, N_, E_ = 3, 8, 13   # 13 % 8 != 0 -> padded to 16
+    H = jnp.asarray(rng.standard_normal((G_, N_, D)), jnp.float32)
+    node_type = jnp.asarray(rng.integers(0, N_NTYPE, (G_, N_)), jnp.int32)
+    node_score = jnp.asarray(rng.standard_normal((G_, N_)), jnp.float32)
+    src = jnp.asarray(rng.integers(0, N_, (G_, E_)), jnp.int32)
+    dst = jnp.asarray(rng.integers(0, N_, (G_, E_)), jnp.int32)
+    etype = jnp.asarray(rng.integers(0, N_ETYPE, (G_, E_)), jnp.int32)
+    mask = jnp.asarray(rng.random((G_, E_)) > 0.3, bool)
+    args = (H, node_type, node_score, src, dst, etype, mask)
+
+    def run(backend):
+        m = QAGNNMessagePassing(k=K, n_ntype=N_NTYPE, n_etype=N_ETYPE,
+                                hidden_size=D, dropout=0.0, head_count=HEADS,
+                                backend=backend)
+        variables = m.init(jax.random.PRNGKey(0), *args, train=False)
+        return m.apply(variables, *args, train=False)
+
+    got = run("pallas")
+    want = run("scatter")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
