@@ -29,8 +29,9 @@ Three backends, equivalent up to float reassociation:
     nodes per graph, as here: N = 200).
   * "pallas" (TPU default): the fused grid-tiled kernels of
     qagnn_tpu.ops.pallas_gat — same one-hot formulation but built in VMEM,
-    never touching HBM; measured ~1.4x the onehot backend's train-step
-    throughput on v5e at CSQA shapes (r3: 40.6M vs 29.5M edges/s).
+    never touching HBM; measured ~2x the onehot backend's train-step
+    throughput on v5e at CSQA shapes (r4: 58.6M vs 29.5M edges/s, 0.70x
+    of the roofline ceiling — see README "Roofline").
 All three are cross-checked in tests (values and VJPs).
 """
 
@@ -53,8 +54,8 @@ _NEG = -1e30
 
 
 def default_backend() -> str:
-    """pallas on TPU: measured on v5e at CSQA bench shapes (r3), the fused
-    grid-tiled kernels beat the XLA onehot path 37.3M vs 29.5M edges/s for
+    """pallas on TPU: measured on v5e at CSQA bench shapes (r4), the fused
+    grid-tiled kernels beat the XLA onehot path 58.6M vs 29.5M edges/s for
     the 5-layer train step. scatter elsewhere (exact, fast on CPU)."""
     return "pallas" if jax.default_backend() == "tpu" else "scatter"
 
