@@ -66,7 +66,10 @@ def parse_args():
                     help="override E (edge budget per graph); e.g. a tiny E "
                     "isolates the step's non-edge-op cost")
     ap.add_argument("--eval", action="store_true",
-                    help="bench train=False (no BN update / dropout)")
+                    help="bench train=False (no BN update / dropout; still "
+                         "fwd+bwd)")
+    ap.add_argument("--infer", action="store_true",
+                    help="bench the pure serving forward (no backward)")
     ap.add_argument("--mode", default="gnn", choices=["gnn", "driver"])
     ap.add_argument("--no_driver", action="store_true",
                     help="skip the extra driver-mode measurement the "
@@ -198,16 +201,26 @@ def run_gnn(args, mesh):
 
     from qagnn_tpu.utils.tpu import tpu_compiler_options
 
-    @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
-    def step(params, H, batch_stats, i):
-        # a real (chained) train step: params/inputs/BN stats all advance,
-        # so no two iterations are identical and every grad is consumed
-        (loss, batch_stats), (gp, gH) = grad_fn(
-            params, H, batch_stats, jax.random.fold_in(key, i))
-        params = jtu.tree_map(lambda p, g: p - 1e-5 * g.astype(p.dtype),
-                              params, gp)
-        H = H + 1e-4 * gH
-        return params, H, batch_stats, loss
+    if getattr(args, "infer", False):
+        # pure serving forward (no grads, BN running stats, no dropout) —
+        # chained through H so no two iterations are identical
+        @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
+        def step(params, H, batch_stats, i):
+            out = model.apply({"params": params, "batch_stats": batch_stats},
+                              H, *inputs, train=False)
+            return params, H + 1e-4 * out, batch_stats, jnp.sum(out)
+    else:
+        @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
+        def step(params, H, batch_stats, i):
+            # a real (chained) train step: params/inputs/BN stats all
+            # advance, so no two iterations are identical and every grad
+            # is consumed
+            (loss, batch_stats), (gp, gH) = grad_fn(
+                params, H, batch_stats, jax.random.fold_in(key, i))
+            params = jtu.tree_map(lambda p, g: p - 1e-5 * g.astype(p.dtype),
+                                  params, gp)
+            H = H + 1e-4 * gH
+            return params, H, batch_stats, loss
 
     def run(n):
         p, x, bs = variables["params"], H, variables["batch_stats"]
@@ -317,10 +330,10 @@ def run_driver(args, mesh):
 
 def main():
     args = parse_args()
-    if args.eval and args.mode == "driver":
+    if (args.eval or args.infer) and args.mode == "driver":
         raise SystemExit(
-            "--eval is not implemented for --mode driver (run_driver benches "
-            "the train step); drop one of the two flags")
+            "--eval/--infer are not implemented for --mode driver "
+            "(run_driver benches the train step); drop a flag")
 
     import glob
     import jax
@@ -373,6 +386,12 @@ def main():
         extras["driver_edges_per_s"] = round(dval, 1)
         extras["driver_vs_gnn"] = round(dval / value, 3)
         extras["driver_compile_s"] = round(dcomp, 1)
+        # serving forward (the deploy-side metric): same graph shapes,
+        # no backward, BN running stats
+        iargs = argparse.Namespace(**vars(args))
+        iargs.infer = True
+        ival, _ = run_gnn(iargs, mesh)
+        extras["infer_edges_per_s"] = round(ival, 1)
 
     baseline = 1e8
     # measured speed-of-light ceiling for the one-hot formulation on one

@@ -91,9 +91,11 @@ class EdgeEncoder(nn.Module):
         (D, D) weight-composition GEMMs remain. linear_1's parameters keep
         the nn.Dense tree (checkpoints stay backend-interchangeable).
 
-        edge_ints = (edge_type, head_t, tail_t, edge_mask) — the FULLY
-        FUSED edge side (pallas path): edge_feat is then only the
-        self-loop rows. The edge rows' linear_0 + BN + ReLU run in the
+        edge_ints = (edge_type, edge_src, edge_dst, node_type, edge_mask)
+        — the FULLY FUSED edge side (pallas path): edge_feat is then only
+        the self-loop rows; head/tail types are gathered in-kernel (an
+        XLA take_along_axis gather of node_type[src] cost ~2.7 ms/step in
+        the driver program). The edge rows' linear_0 + BN + ReLU run in the
         qagnn_tpu.ops.pallas_edge_encoder kernels, emitting h TRANSPOSED
         (G, D, E_pad); the BN batch moments of the edge rows are ANALYTIC
         in (W0, b0) given the masked feature histogram/second moment, so
@@ -123,14 +125,14 @@ class EdgeEncoder(nn.Module):
                 edge_hidden,
             )
 
-            etype, head_t, tail_t, emask = edge_ints
+            etype, esrc, edst, ntype, emask = edge_ints
             w0, b0 = lin0_params
             x0_self = jnp.dot(edge_feat.astype(cdt), w0.astype(cdt)) \
                 + b0.astype(cdt)
             interp = _jax.default_backend() != "tpu"
             if train:
                 hist, M, n_e = edge_feature_moments(
-                    etype, head_t, tail_t, emask, n_rel, n_ntype, interp)
+                    etype, esrc, edst, ntype, emask, n_rel, n_ntype, interp)
                 s1, s2 = analytic_edge_moments(w0, b0, hist, M, n_e)
                 res, (a, b) = bn([("moments", s1, s2, n_e),
                                   (x0_self, None)],
@@ -142,7 +144,7 @@ class EdgeEncoder(nn.Module):
                                  use_running_average=True,
                                  return_affine=True)
                 h_self = jax.nn.relu(res[0])
-            h_edge_t = edge_hidden(etype, head_t, tail_t, w0, b0, a, b,
+            h_edge_t = edge_hidden(etype, esrc, edst, ntype, w0, b0, a, b,
                                    n_rel, n_ntype, cdt, interp)
             return (h_edge_t, h_self), (k1, b1)
 
@@ -392,8 +394,6 @@ class QAGNNMessagePassing(nn.Module):
         # head==tail==own type (reference :420-421,428-429).
         fdt = self.dtype
         E = edge_src.shape[1]
-        head_t = jnp.take_along_axis(node_type, edge_src, axis=1)
-        tail_t = jnp.take_along_axis(node_type, edge_dst, axis=1)
 
         s_rel = jnp.zeros((G, N, self.n_etype + 1), fdt) \
             .at[:, :, self.n_etype].set(1.0)
@@ -419,7 +419,8 @@ class QAGNNMessagePassing(nn.Module):
             (edge_emb, self_emb), emb_proj = enc(
                 self_feat.reshape(G * N, nfeat), train=train,
                 return_hidden=True,
-                edge_ints=(edge_type, head_t, tail_t, edge_mask),
+                edge_ints=(edge_type, edge_src, edge_dst, node_type,
+                           edge_mask),
                 n_rel=self.n_etype + 1, n_ntype=self.n_ntype)
             # edge_emb: (G, D, E_pad) transposed hidden states
             self_emb = self_emb.reshape(G, N, D)
@@ -428,6 +429,8 @@ class QAGNNMessagePassing(nn.Module):
             # directly in the compute dtype so the (G*E, 47) block never
             # materializes at f32 on the bf16 hot path.
             e_rel = jax.nn.one_hot(edge_type, self.n_etype + 1, dtype=fdt)
+            head_t = jnp.take_along_axis(node_type, edge_src, axis=1)
+            tail_t = jnp.take_along_axis(node_type, edge_dst, axis=1)
             e_head = jax.nn.one_hot(head_t, self.n_ntype, dtype=fdt)
             e_tail = jax.nn.one_hot(tail_t, self.n_ntype, dtype=fdt)
             edge_feat = jnp.concatenate([e_rel, e_head, e_tail], axis=-1)

@@ -42,19 +42,40 @@ from qagnn_tpu.ops.pallas_gat import _tile_for
 Array = jax.Array
 
 
-def _feat_onehot(rel_ref, head_ref, tail_ref, n_rel, n_ntype, cdt):
-    """(F, T) concatenated one-hot features for the tile, built as ONE
-    comparison: row f holds the rel one-hot for f < n_rel, then head-type,
-    then tail-type rows."""
+def _feat_onehot(rel_ref, src_ref, dst_ref, ntype_ref, n_rel, n_ntype, cdt,
+                 n_nodes):
+    """(F, T) concatenated one-hot features for the tile.
+
+    Head/tail node types are gathered IN-KERNEL from the (1, N) node-type
+    row via the same (N, T) one-hot matmuls the GAT kernels use — an HLO
+    gather of node_type[src] over 262k edges costs ~2.7 ms/step in some
+    XLA schedules (the driver train step hit exactly that), while here it
+    is two (1, N) x (N, T) matmuls. Small-int arithmetic is exact in f32,
+    so the feature one-hot is built as ONE float comparison: row f holds
+    the rel one-hot for f < n_rel, then head-type, then tail-type rows."""
     t = rel_ref.shape[-1]
     F = n_rel + 2 * n_ntype
-    f_ids = jax.lax.broadcasted_iota(jnp.int32, (F, t), 0)
-    rel = jnp.broadcast_to(rel_ref[0], (F, t))
-    head = jnp.broadcast_to(head_ref[0], (F, t)) + n_rel
-    tail = jnp.broadcast_to(tail_ref[0], (F, t)) + n_rel + n_ntype
+    f32 = jnp.float32
+    ids = jax.lax.broadcasted_iota(jnp.int32, (n_nodes, t), 0)
+    src = jnp.broadcast_to(src_ref[0], (n_nodes, t))
+    oh_s = jnp.maximum(1 - jnp.abs(ids - src), 0).astype(f32)
+    dst = jnp.broadcast_to(dst_ref[0], (n_nodes, t))
+    oh_d = jnp.maximum(1 - jnp.abs(ids - dst), 0).astype(f32)
+    nt = ntype_ref[0].astype(f32)                                # (1, N)
+    head = jax.lax.dot_general(
+        nt, oh_s, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32)                              # (1, T)
+    tail = jax.lax.dot_general(
+        nt, oh_d, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32)
+
+    f_ids = jax.lax.broadcasted_iota(jnp.int32, (F, t), 0).astype(f32)
+    rel = jnp.broadcast_to(rel_ref[0], (F, t)).astype(f32)
+    head_b = jnp.broadcast_to(head, (F, t)) + n_rel
+    tail_b = jnp.broadcast_to(tail, (F, t)) + n_rel + n_ntype
     target = jnp.where(f_ids < n_rel, rel,
-                       jnp.where(f_ids < n_rel + n_ntype, head, tail))
-    return jnp.maximum(1 - jnp.abs(f_ids - target), 0).astype(cdt)
+                       jnp.where(f_ids < n_rel + n_ntype, head_b, tail_b))
+    return jnp.maximum(1.0 - jnp.abs(f_ids - target), 0.0).astype(cdt)
 
 
 def _pad_e(x, tile, value=0):
@@ -69,8 +90,8 @@ def _pad_e(x, tile, value=0):
 # data-only feature moments (hist, M, n) — not differentiable, ints in
 # ---------------------------------------------------------------------------
 
-def _moments_kernel(rel_ref, head_ref, tail_ref, mask_ref,
-                    hist_ref, m_ref, n_ref, *, n_rel, n_ntype):
+def _moments_kernel(rel_ref, src_ref, dst_ref, ntype_ref, mask_ref,
+                    hist_ref, m_ref, n_ref, *, n_rel, n_ntype, n_nodes):
     f32 = jnp.float32
     g = pl.program_id(0)
     t = pl.program_id(1)
@@ -81,8 +102,8 @@ def _moments_kernel(rel_ref, head_ref, tail_ref, mask_ref,
         m_ref[...] = jnp.zeros_like(m_ref[...])
         n_ref[...] = jnp.zeros_like(n_ref[...])
 
-    ohm = _feat_onehot(rel_ref, head_ref, tail_ref, n_rel, n_ntype,
-                       jnp.bfloat16)
+    ohm = _feat_onehot(rel_ref, src_ref, dst_ref, ntype_ref, n_rel,
+                       n_ntype, jnp.bfloat16, n_nodes)
     mask = mask_ref[0].astype(jnp.bfloat16)                      # (1, T)
     ohm = ohm * mask
     # one-hot entries are exact in bf16; f32 accumulation
@@ -94,37 +115,43 @@ def _moments_kernel(rel_ref, head_ref, tail_ref, mask_ref,
     n_ref[...] += jnp.sum(mask.astype(f32), keepdims=True)       # (1, 1)
 
 
-def edge_feature_moments(edge_type, head_t, tail_t, mask,
+def edge_feature_moments(edge_type, src, dst, node_type, mask,
                          n_rel, n_ntype, interpret=False):
     """Masked feature histogram (F,), second moment M (F, F) and row count
-    () over all graphs' edges. Data-only (no parameters): gradients don't
-    flow through these; the analytic moment FORMULAS that consume them are
+    () over all graphs' edges; head/tail types gathered in-kernel from
+    node_type (G, N). Data-only (no parameters): gradients don't flow
+    through these; the analytic moment FORMULAS that consume them are
     differentiable XLA."""
     G, E = edge_type.shape
+    N = node_type.shape[1]
     tile = _tile_for(E, jnp.bfloat16)
     F = n_rel + 2 * n_ntype
 
     rel3 = _pad_e(edge_type, tile)[:, None, :]
-    head3 = _pad_e(head_t, tile)[:, None, :]
-    tail3 = _pad_e(tail_t, tile)[:, None, :]
+    src3 = _pad_e(src, tile)[:, None, :]
+    dst3 = _pad_e(dst, tile)[:, None, :]
+    nt3 = node_type[:, None, :]
     mask3 = _pad_e(mask.astype(jnp.float32), tile)[:, None, :]
     E_pad = rel3.shape[2]
 
     idx_spec = pl.BlockSpec((1, 1, tile), lambda g, t: (g, 0, t),
                             memory_space=pltpu.VMEM)
+    nt_spec = pl.BlockSpec((1, 1, N), lambda g, t: (g, 0, 0),
+                           memory_space=pltpu.VMEM)
     acc = lambda shape: pl.BlockSpec(shape, lambda g, t: (0, 0),
                                      memory_space=pltpu.VMEM)
 
     hist, M, n = pl.pallas_call(
-        functools.partial(_moments_kernel, n_rel=n_rel, n_ntype=n_ntype),
+        functools.partial(_moments_kernel, n_rel=n_rel, n_ntype=n_ntype,
+                          n_nodes=N),
         grid=(G, E_pad // tile),
-        in_specs=[idx_spec, idx_spec, idx_spec, idx_spec],
+        in_specs=[idx_spec, idx_spec, idx_spec, nt_spec, idx_spec],
         out_specs=(acc((F, 1)), acc((F, F)), acc((1, 1))),
         out_shape=(jax.ShapeDtypeStruct((F, 1), jnp.float32),
                    jax.ShapeDtypeStruct((F, F), jnp.float32),
                    jax.ShapeDtypeStruct((1, 1), jnp.float32)),
         interpret=interpret,
-    )(rel3, head3, tail3, mask3)
+    )(rel3, src3, dst3, nt3, mask3)
     return (jax.lax.stop_gradient(hist[:, 0]),
             jax.lax.stop_gradient(M),
             jax.lax.stop_gradient(n[0, 0]))
@@ -134,11 +161,13 @@ def edge_feature_moments(edge_type, head_t, tail_t, mask,
 # h = relu(a * (W0^T feat + b0) + b), emitted as (G, D, E)
 # ---------------------------------------------------------------------------
 
-def _hidden_fwd_kernel(rel_ref, head_ref, tail_ref, w0_ref, b0_ref,
-                       a_ref, b_ref, h_ref, *, n_rel, n_ntype):
+def _hidden_fwd_kernel(rel_ref, src_ref, dst_ref, ntype_ref, w0_ref,
+                       b0_ref, a_ref, b_ref, h_ref,
+                       *, n_rel, n_ntype, n_nodes):
     f32 = jnp.float32
     cdt = h_ref.dtype
-    oh = _feat_onehot(rel_ref, head_ref, tail_ref, n_rel, n_ntype, cdt)
+    oh = _feat_onehot(rel_ref, src_ref, dst_ref, ntype_ref, n_rel, n_ntype,
+                      cdt, n_nodes)
     x0 = jax.lax.dot_general(
         w0_ref[...].astype(cdt), oh,
         dimension_numbers=(((0,), (0,)), ((), ())),
@@ -147,10 +176,10 @@ def _hidden_fwd_kernel(rel_ref, head_ref, tail_ref, w0_ref, b0_ref,
     h_ref[0] = jnp.maximum(pre, 0.0).astype(cdt)
 
 
-def _hidden_bwd_kernel(rel_ref, head_ref, tail_ref, w0_ref, b0_ref,
-                       a_ref, b_ref, dh_ref,
+def _hidden_bwd_kernel(rel_ref, src_ref, dst_ref, ntype_ref, w0_ref,
+                       b0_ref, a_ref, b_ref, dh_ref,
                        dw0_ref, db0_ref, da_ref, db_ref,
-                       *, n_rel, n_ntype):
+                       *, n_rel, n_ntype, n_nodes):
     f32 = jnp.float32
     cdt = dh_ref.dtype
     g = pl.program_id(0)
@@ -163,7 +192,8 @@ def _hidden_bwd_kernel(rel_ref, head_ref, tail_ref, w0_ref, b0_ref,
         da_ref[...] = jnp.zeros_like(da_ref[...])
         db_ref[...] = jnp.zeros_like(db_ref[...])
 
-    oh = _feat_onehot(rel_ref, head_ref, tail_ref, n_rel, n_ntype, cdt)
+    oh = _feat_onehot(rel_ref, src_ref, dst_ref, ntype_ref, n_rel, n_ntype,
+                      cdt, n_nodes)
     x0 = jax.lax.dot_general(
         w0_ref[...].astype(cdt), oh,
         dimension_numbers=(((0,), (0,)), ((), ())),
@@ -180,75 +210,86 @@ def _hidden_bwd_kernel(rel_ref, head_ref, tail_ref, w0_ref, b0_ref,
         preferred_element_type=f32)                              # (F, D)
 
 
-def _hidden_impl(edge_type, head_t, tail_t, w0, b0, a, b, n_rel, n_ntype,
-                 out_dtype, interpret):
+def _hidden_impl(edge_type, src, dst, node_type, w0, b0, a, b,
+                 n_rel, n_ntype, out_dtype, interpret):
     G, E = edge_type.shape
+    N = node_type.shape[1]
     D = w0.shape[1]
     tile = _tile_for(E, jnp.dtype(out_dtype))
     rel3 = _pad_e(edge_type, tile)[:, None, :]
-    head3 = _pad_e(head_t, tile)[:, None, :]
-    tail3 = _pad_e(tail_t, tile)[:, None, :]
+    src3 = _pad_e(src, tile)[:, None, :]
+    dst3 = _pad_e(dst, tile)[:, None, :]
+    nt3 = node_type[:, None, :]
     E_pad = rel3.shape[2]
 
     idx_spec = pl.BlockSpec((1, 1, tile), lambda g, t: (g, 0, t),
                             memory_space=pltpu.VMEM)
+    nt_spec = pl.BlockSpec((1, 1, N), lambda g, t: (g, 0, 0),
+                           memory_space=pltpu.VMEM)
     par = lambda shape: pl.BlockSpec(shape, lambda g, t: (0, 0),
                                      memory_space=pltpu.VMEM)
     h_spec = pl.BlockSpec((1, D, tile), lambda g, t: (g, 0, t),
                           memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
-        functools.partial(_hidden_fwd_kernel, n_rel=n_rel, n_ntype=n_ntype),
+        functools.partial(_hidden_fwd_kernel, n_rel=n_rel, n_ntype=n_ntype,
+                          n_nodes=N),
         grid=(G, E_pad // tile),
-        in_specs=[idx_spec, idx_spec, idx_spec,
+        in_specs=[idx_spec, idx_spec, idx_spec, nt_spec,
                   par(w0.shape), par((D, 1)), par((D, 1)), par((D, 1))],
         out_specs=h_spec,
         out_shape=jax.ShapeDtypeStruct((G, D, E_pad), out_dtype),
         interpret=interpret,
-    )(rel3, head3, tail3, w0, b0.reshape(D, 1), a.reshape(D, 1),
+    )(rel3, src3, dst3, nt3, w0, b0.reshape(D, 1), a.reshape(D, 1),
       b.reshape(D, 1))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
-def edge_hidden(edge_type, head_t, tail_t, w0, b0, a, b,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def edge_hidden(edge_type, src, dst, node_type, w0, b0, a, b,
                 n_rel, n_ntype, out_dtype, interpret=False):
     """h = relu(a * (W0^T feat + b0) + b) as (G, D, E_pad), E padded to the
-    kernel tile. a/b are the folded BatchNorm affine (gamma*inv,
-    beta - mean*gamma*inv) — f32 (D,) vectors, differentiable upstream
-    through the analytic moment formulas."""
-    return _hidden_impl(edge_type, head_t, tail_t, w0, b0, a, b,
+    kernel tile; head/tail types gathered in-kernel from node_type (G, N).
+    a/b are the folded BatchNorm affine (gamma*inv, beta - mean*gamma*inv)
+    — f32 (D,) vectors, differentiable upstream through the analytic
+    moment formulas."""
+    return _hidden_impl(edge_type, src, dst, node_type, w0, b0, a, b,
                         n_rel, n_ntype, out_dtype, interpret)
 
 
-def _hidden_vjp_fwd(edge_type, head_t, tail_t, w0, b0, a, b,
+def _hidden_vjp_fwd(edge_type, src, dst, node_type, w0, b0, a, b,
                     n_rel, n_ntype, out_dtype, interpret):
-    h = _hidden_impl(edge_type, head_t, tail_t, w0, b0, a, b,
+    h = _hidden_impl(edge_type, src, dst, node_type, w0, b0, a, b,
                      n_rel, n_ntype, out_dtype, interpret)
-    return h, (edge_type, head_t, tail_t, w0, b0, a, b)
+    return h, (edge_type, src, dst, node_type, w0, b0, a, b)
 
 
 def _hidden_vjp_bwd(n_rel, n_ntype, out_dtype, interpret, res, dh):
-    edge_type, head_t, tail_t, w0, b0, a, b = res
+    edge_type, src, dst, node_type, w0, b0, a, b = res
     G, E = edge_type.shape
+    N = node_type.shape[1]
     D = w0.shape[1]
     tile = _tile_for(E, jnp.dtype(out_dtype))
     rel3 = _pad_e(edge_type, tile)[:, None, :]
-    head3 = _pad_e(head_t, tile)[:, None, :]
-    tail3 = _pad_e(tail_t, tile)[:, None, :]
+    src3 = _pad_e(src, tile)[:, None, :]
+    dst3 = _pad_e(dst, tile)[:, None, :]
+    nt3 = node_type[:, None, :]
     E_pad = rel3.shape[2]
     assert dh.shape == (G, D, E_pad), (dh.shape, (G, D, E_pad))
 
     idx_spec = pl.BlockSpec((1, 1, tile), lambda g, t: (g, 0, t),
                             memory_space=pltpu.VMEM)
+    nt_spec = pl.BlockSpec((1, 1, N), lambda g, t: (g, 0, 0),
+                           memory_space=pltpu.VMEM)
     par = lambda shape: pl.BlockSpec(shape, lambda g, t: (0, 0),
                                      memory_space=pltpu.VMEM)
     h_spec = pl.BlockSpec((1, D, tile), lambda g, t: (g, 0, t),
                           memory_space=pltpu.VMEM)
 
     dw0, db0, da, db = pl.pallas_call(
-        functools.partial(_hidden_bwd_kernel, n_rel=n_rel, n_ntype=n_ntype),
+        functools.partial(_hidden_bwd_kernel, n_rel=n_rel, n_ntype=n_ntype,
+                          n_nodes=N),
         grid=(G, E_pad // tile),
-        in_specs=[idx_spec, idx_spec, idx_spec,
+        in_specs=[idx_spec, idx_spec, idx_spec, nt_spec,
                   par(w0.shape), par((D, 1)), par((D, 1)), par((D, 1)),
                   h_spec],
         out_specs=(par(w0.shape), par((D, 1)), par((D, 1)), par((D, 1))),
@@ -257,11 +298,11 @@ def _hidden_vjp_bwd(n_rel, n_ntype, out_dtype, interpret, res, dh):
                    jax.ShapeDtypeStruct((D, 1), jnp.float32),
                    jax.ShapeDtypeStruct((D, 1), jnp.float32)),
         interpret=interpret,
-    )(rel3, head3, tail3, w0, b0.reshape(D, 1), a.reshape(D, 1),
+    )(rel3, src3, dst3, nt3, w0, b0.reshape(D, 1), a.reshape(D, 1),
       b.reshape(D, 1), dh.astype(jnp.dtype(out_dtype)))
 
     zero_i = lambda x: np.zeros(x.shape, jax.dtypes.float0)
-    return (zero_i(edge_type), zero_i(head_t), zero_i(tail_t),
+    return (zero_i(edge_type), zero_i(src), zero_i(dst), zero_i(node_type),
             dw0.astype(w0.dtype), db0[:, 0].astype(b0.dtype),
             da[:, 0].astype(a.dtype), db[:, 0].astype(b.dtype))
 
