@@ -70,6 +70,10 @@ def parse_args():
                          "fwd+bwd)")
     ap.add_argument("--infer", action="store_true",
                     help="bench the pure serving forward (no backward)")
+    ap.add_argument("--prng", default="default",
+                    choices=["default", "rbg", "threefry2x32"],
+                    help="PRNG impl for dropout masks (rbg: +3% on the "
+                         "GNN-only step but unstable driver timings)")
     ap.add_argument("--mode", default="gnn", choices=["gnn", "driver"])
     ap.add_argument("--no_driver", action="store_true",
                     help="skip the extra driver-mode measurement the "
@@ -341,6 +345,12 @@ def main():
     # remote TPU compile
     jax.config.update("jax_compilation_cache_dir", "/tmp/qagnn_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if args.prng != "default":
+        # rbg (hardware RNG) measured +3% on the GNN-only step (threefry
+        # mask generation costs real VPU time per dropout layer) but made
+        # the DRIVER step's timing unstable across runs (27M-88M edges/s
+        # for the same program) — so it stays opt-in, not the default
+        jax.config.update("jax_default_prng_impl", args.prng)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     # honest compile-time story: compile_s below is only meaningful relative

@@ -189,6 +189,9 @@ def train(cfg: TrainConfig) -> dict:
     import jax
     import jax.numpy as jnp
 
+    if cfg.prng_impl and cfg.prng_impl != "default":
+        jax.config.update("jax_default_prng_impl", cfg.prng_impl)
+
     from qagnn_tpu.train.optim import build_train_optimizer
     from qagnn_tpu.train.step import (
         accuracy, init_train_state, make_eval_step, make_train_step)

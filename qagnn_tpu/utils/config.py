@@ -56,6 +56,10 @@ class TrainConfig:
     mode: str = "train"                  # train | eval_detail
     save_dir: str = "./saved_models/qagnn/"
     save_model: bool = False
+    # PRNG implementation for dropout masks. "rbg" (TPU hardware RNG)
+    # measured +3% GNN-step throughput over threefry BUT made full driver
+    # step timings unstable across runs on the tunneled v5e — default off.
+    prng_impl: str = "default"
     # eval_detail: how many test batches get the full analysis npz dump
     # (pooler attention, per-layer alphas, graph tensors). Its own flag —
     # the reference's detail mode is unconditional (reference
