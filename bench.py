@@ -51,7 +51,9 @@ import json
 import time
 
 
-def parse_args():
+def parse_args(argv=None):
+    """argv=None parses sys.argv; pass [] for pure defaults (tools that
+    build an args namespace programmatically stay in sync with new flags)."""
     ap = argparse.ArgumentParser()
     ap.add_argument("--backend", default=None,
                     help="sparse backend (default: auto per platform)")
@@ -89,7 +91,7 @@ def parse_args():
                     "is touched). Combine --platform cpu with "
                     "XLA_FLAGS=--xla_force_host_platform_device_count=8 "
                     "for virtual-mesh runs.")
-    return ap.parse_args()
+    return ap.parse_args(argv)
 
 
 def shapes(args):

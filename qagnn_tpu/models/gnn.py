@@ -117,24 +117,24 @@ class EdgeEncoder(nn.Module):
 
         if edge_ints is not None:
             assert return_hidden
-            import jax as _jax
-
+            from qagnn_tpu.models.norm import MomentPart
             from qagnn_tpu.ops.pallas_edge_encoder import (
                 analytic_edge_moments,
                 edge_feature_moments,
                 edge_hidden,
             )
+            from qagnn_tpu.utils.tpu import lowering_platform
 
             etype, esrc, edst, ntype, emask = edge_ints
             w0, b0 = lin0_params
             x0_self = jnp.dot(edge_feat.astype(cdt), w0.astype(cdt)) \
                 + b0.astype(cdt)
-            interp = _jax.default_backend() != "tpu"
+            interp = lowering_platform() != "tpu"
             if train:
                 hist, M, n_e = edge_feature_moments(
                     etype, esrc, edst, ntype, emask, n_rel, n_ntype, interp)
                 s1, s2 = analytic_edge_moments(w0, b0, hist, M, n_e)
-                res, (a, b) = bn([("moments", s1, s2, n_e),
+                res, (a, b) = bn([MomentPart(s1, s2, n_e),
                                   (x0_self, None)],
                                  use_running_average=False,
                                  return_affine=True)
@@ -272,11 +272,12 @@ class GATConvE(nn.Module):
                 if E_pad != emb_p.shape[2]:
                     emb_p = jnp.pad(
                         emb_p, ((0, 0), (0, 0), (0, E_pad - emb_p.shape[2])))
+            from qagnn_tpu.utils.tpu import lowering_platform
             args = (nq, key_x_d(x), msg_x_d(x), emb_p,
                     wke, bke, wme, bme,
                     proj(self_emb, wke, bke), proj(self_emb, wme, bme),
                     src_p, dst_p, mask_p, h,
-                    jax.default_backend() != "tpu")
+                    lowering_platform() != "tpu")
             if chain_out:
                 aggr, emb_pass = pallas_relational_gat_projected_chained(
                     *args)

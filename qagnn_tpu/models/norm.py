@@ -24,11 +24,27 @@ Torch parity details implemented here:
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 Array = jax.Array
+
+
+class MomentPart(NamedTuple):
+    """Pre-reduced contribution to a MaskedBatchNorm batch statistic.
+
+    s1/s2: (features,) f32 row sums sum(x) and sum(x^2); n: scalar row
+    count. Lets a caller (the fused edge-encoder path) contribute rows to
+    the statistic in closed form WITHOUT the row array existing; keeping
+    s1/s2 differentiable in the upstream parameters is the caller's job.
+    """
+
+    s1: Array
+    s2: Array
+    n: Array
 
 
 class MaskedBatchNorm(nn.Module):
@@ -45,13 +61,10 @@ class MaskedBatchNorm(nn.Module):
         """x: (rows, features), or a list of parts sharing ONE statistic.
 
         A part is (x_i, weight_i) — rows with an optional stat weight
-        ((rows,) nonneg; 0 drops a row from stats) — or
-        ("moments", s1, s2, n_rows): pre-reduced f32 row sums sum(x),
-        sum(x^2) and a row count contributed to the statistic WITHOUT any
-        row array existing (the fused edge-encoder path computes them in
-        closed form from the one-hot feature structure; keeping them
-        differentiable in the upstream parameters is the caller's job).
-        Moment parts yield None in the output list.
+        ((rows,) nonneg; 0 drops a row from stats) — or a MomentPart
+        (pre-reduced sum(x)/sum(x^2)/row-count contributed to the
+        statistic without any row array existing). Moment parts yield
+        None in the output list.
 
         All rows are normalized/affine-transformed; only statistics are
         masked. The multi-part form computes the moments over the union of
@@ -68,12 +81,10 @@ class MaskedBatchNorm(nn.Module):
         use_ra = nn.merge_param(
             "use_running_average", self.use_running_average, use_running_average)
 
-        multi = isinstance(x, (tuple, list))
+        multi = isinstance(x, (tuple, list)) and not isinstance(x, MomentPart)
         parts = list(x) if multi else [(x, weight)]
-        moment_parts = [p for p in parts
-                        if isinstance(p[0], str) and p[0] == "moments"]
-        array_parts = [p for p in parts
-                       if not (isinstance(p[0], str) and p[0] == "moments")]
+        moment_parts = [p for p in parts if isinstance(p, MomentPart)]
+        array_parts = [p for p in parts if not isinstance(p, MomentPart)]
 
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
@@ -104,9 +115,9 @@ class MaskedBatchNorm(nn.Module):
                     w = wi.astype(f32)
                     n = n + jnp.sum(w)
                     s1 = s1 + jnp.sum(x32 * w[:, None], axis=0)
-            for _, m1, m2, mn in moment_parts:
-                n = n + mn
-                s1 = s1 + m1
+            for mp in moment_parts:
+                n = n + mp.n
+                s1 = s1 + mp.s1
             n = jnp.maximum(n, 1.0)
             mean = s1 / n
             if moment_parts:
@@ -118,8 +129,8 @@ class MaskedBatchNorm(nn.Module):
                     s2 = s2 + (jnp.sum(x2, axis=0) if wi is None
                                else jnp.sum(x2 * wi.astype(f32)[:, None],
                                             axis=0))
-                for _, m1, m2, mn in moment_parts:
-                    s2 = s2 + m2
+                for mp in moment_parts:
+                    s2 = s2 + mp.s2
                 var = jnp.maximum(s2 / n - jnp.square(mean), 0.0)
             else:
                 s2 = jnp.zeros(self.features, f32)
@@ -154,7 +165,7 @@ class MaskedBatchNorm(nn.Module):
             b = (bias - mean * inv * scale).astype(xi.dtype)
             return xi * a + b
 
-        outs = [None if isinstance(p[0], str) else norm(p[0])
+        outs = [None if isinstance(p, MomentPart) else norm(p[0])
                 for p in parts]
         result = outs if multi else outs[0]
         if return_affine:

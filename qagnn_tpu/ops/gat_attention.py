@@ -99,9 +99,11 @@ def relational_gat_attention_nodes(
             pallas_relational_gat,
         )
 
+        from qagnn_tpu.utils.tpu import lowering_platform
+
         G, N, H, D = node_query.shape
         flat = lambda t: t.reshape(t.shape[0], t.shape[1], H * D)
-        interpret = jax.default_backend() != "tpu"
+        interpret = lowering_platform() != "tpu"
         _, src_p, dst_p, mask_p, ekb_p, emb_p = pad_edges_to_tile(
             edge_src, edge_dst, edge_mask.astype(node_query.dtype),
             flat(edge_key_bias), flat(edge_msg_bias),

@@ -16,6 +16,24 @@ from __future__ import annotations
 SCOPED_VMEM_KIB = 32768
 
 
+def lowering_platform() -> str:
+    """Platform computations lower to BY DEFAULT right now.
+
+    Unlike jax.default_backend(), this respects an active
+    jax.default_device(...) override — so requesting backend='pallas'
+    under jax.default_device(cpu) on a TPU host selects interpret mode
+    instead of compiling Mosaic kernels for CPU. A per-call device
+    placement (jax.jit(..., device=...)) is still invisible at trace
+    time; callers that do that must pass interpret explicitly.
+    """
+    import jax
+
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return dev.platform
+    return jax.default_backend()
+
+
 def tpu_compiler_options() -> dict:
     """compiler_options for jax.jit on TPU; {} elsewhere (CPU tests)."""
     import jax

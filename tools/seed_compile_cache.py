@@ -32,26 +32,21 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/qagnn_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    import argparse as _argparse
+
     import bench
 
-    class A:
-        backend = None
-        dtype = "bfloat16"
-        iters = 6
-        small = args.small
-        edges = None
-        eval = False
-        mode = "gnn"
-        mesh = None
-        scaling = False
-        platform = None
-        no_driver = False
+    # bench's own defaults (parse_args([])) keep this namespace in sync with
+    # any future bench flags; only the seeding-specific overrides are local
+    a = _argparse.Namespace(**vars(bench.parse_args([])))
+    a.iters = 6
+    a.small = args.small
 
     for mode, runner in (("gnn", bench.run_gnn), ("driver", bench.run_driver)):
         if mode == "driver" and args.skip_driver:
             continue
         t0 = time.perf_counter()
-        _, compile_s = runner(A(), None)
+        _, compile_s = runner(a, None)
         print(f"seeded {mode}: compile {compile_s:.1f}s "
               f"(total {time.perf_counter() - t0:.1f}s)", flush=True)
     cache = "/tmp/qagnn_tpu_jax_cache"
