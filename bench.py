@@ -172,9 +172,10 @@ def run_gnn(args, mesh):
                                 dropout=0.2 if train else 0.0,
                                 backend=backend,
                                 dtype=getattr(jnp, args.dtype))
-    variables = model.init(jax.random.PRNGKey(0), H, node_type, node_score,
-                           edge_src, edge_dst, edge_type, edge_mask,
-                           train=False)
+    from qagnn_tpu.utils.initialization import init_variables
+    variables = init_variables(model, jax.random.PRNGKey(0), H, node_type,
+                               node_score, edge_src, edge_dst, edge_type,
+                               edge_mask, train=False)
     key = jax.random.PRNGKey(1)
 
     inputs = (node_type, node_score, edge_src, edge_dst, edge_type, edge_mask)
@@ -304,7 +305,9 @@ def run_driver(args, mesh):
         nonlocal optimizer
         import jax
         key = jax.random.PRNGKey(0)
-        params_probe = model.init(key, batch.lm_inputs, batch.graph)["params"]
+        from qagnn_tpu.utils.initialization import init_variables
+        params_probe = init_variables(
+            model, key, batch.lm_inputs, batch.graph)["params"]
         optimizer = build_train_optimizer(params_probe)
         return init_train_state(model, optimizer, key, batch)
 

@@ -31,8 +31,10 @@ edge_mask = jnp.ones((G, E), bool)
 model = QAGNNMessagePassing(k=K, n_ntype=4, n_etype=38, hidden_size=D,
                             dropout=0.2, backend=cli_args.backend,
                             dtype=jnp.bfloat16)
-variables = model.init(jax.random.PRNGKey(0), H, node_type, node_score,
-                       edge_src, edge_dst, edge_type, edge_mask, train=False)
+from qagnn_tpu.utils.initialization import init_variables
+variables = init_variables(model, jax.random.PRNGKey(0), H, node_type,
+                           node_score, edge_src, edge_dst, edge_type,
+                           edge_mask, train=False)
 key = jax.random.PRNGKey(1)
 
 def loss_fn(params, H, batch_stats, dkey):

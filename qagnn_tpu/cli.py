@@ -225,9 +225,12 @@ def train(cfg: TrainConfig) -> dict:
     _, sample = next(dataset.train())
     steps_per_epoch = max(1, dataset.train_size() // cfg.batch_size)
 
-    # params + optimizer
+    # params + optimizer (init under the scatter backend: no Mosaic compile,
+    # no 16 MiB forward-vmem pin — see qagnn_tpu.utils.initialization)
     import jax.tree_util as jtu
-    variables = model.init(rng, sample.lm_inputs, sample.graph)
+
+    from qagnn_tpu.utils.initialization import init_variables
+    variables = init_variables(model, rng, sample.lm_inputs, sample.graph)
     params = variables["params"]
 
     # frozen entity table mask (reference --freeze_ent_emb, qagnn.py:63)

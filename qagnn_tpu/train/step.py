@@ -23,6 +23,7 @@ from flax import struct
 from qagnn_tpu.graph.container import BatchedGraphs
 from qagnn_tpu.train.losses import LOSSES
 from qagnn_tpu.train.optim import TrainOptimizer, TrainOptimizerState
+from qagnn_tpu.utils.initialization import init_variables
 from qagnn_tpu.utils.tpu import tpu_compiler_options
 
 Array = jax.Array
@@ -46,8 +47,13 @@ class Batch(struct.PyTreeNode):
 def init_train_state(model, optimizer: TrainOptimizer, rng: Array,
                      sample_batch: Batch, pretrained: dict | None = None,
                      ) -> TrainState:
-    """Initialize model variables + optimizer state from a sample batch."""
-    variables = model.init(rng, sample_batch.lm_inputs, sample_batch.graph)
+    """Initialize model variables + optimizer state from a sample batch.
+
+    Init runs under the scatter backend (see utils.initialization): the
+    fused Pallas kernels never compile in a forward-only init jit, so
+    their tile/VMEM budget is set solely by the train/eval-step jits."""
+    variables = init_variables(model, rng, sample_batch.lm_inputs,
+                               sample_batch.graph)
     params = variables["params"]
     if pretrained:
         params = _merge_pretrained(params, pretrained)

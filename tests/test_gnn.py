@@ -468,3 +468,47 @@ def test_pallas_ragged_edge_budget_fused_path(monkeypatch):
     want = run("scatter")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_scatter_init_matches_pallas_init():
+    """utils.initialization.init_variables (scatter-backend init, no Mosaic)
+    produces the variables a pallas-backend init would: identical tree
+    structure, shapes and dtypes, values equal up to eager-vs-jit float
+    rounding — flax derives param RNG streams from module paths, and the
+    fused path's _ProjParams mirror nn.Dense's {kernel, bias} tree by
+    construction."""
+    from qagnn_tpu.utils.initialization import init_variables
+
+    rng = np.random.default_rng(5)
+    G_, N_, E_ = 2, 8, 16
+    H = jnp.asarray(rng.standard_normal((G_, N_, D)), jnp.float32)
+    node_type = jnp.asarray(rng.integers(0, N_NTYPE, (G_, N_)), jnp.int32)
+    node_score = jnp.asarray(rng.standard_normal((G_, N_)), jnp.float32)
+    src = jnp.asarray(rng.integers(0, N_, (G_, E_)), jnp.int32)
+    dst = jnp.asarray(rng.integers(0, N_, (G_, E_)), jnp.int32)
+    etype = jnp.asarray(rng.integers(0, N_ETYPE, (G_, E_)), jnp.int32)
+    mask = jnp.ones((G_, E_), bool)
+    args = (H, node_type, node_score, src, dst, etype, mask)
+
+    m = QAGNNMessagePassing(k=2, n_ntype=N_NTYPE, n_etype=N_ETYPE,
+                            hidden_size=D, dropout=0.0, head_count=HEADS,
+                            backend="pallas")
+    direct = m.init(jax.random.PRNGKey(0), *args, train=False)
+    via_scatter = init_variables(m, jax.random.PRNGKey(0), *args, train=False)
+
+    d_flat = jax.tree_util.tree_leaves_with_path(direct)
+    s_flat = jax.tree_util.tree_leaves_with_path(via_scatter)
+    assert [p for p, _ in d_flat] == [p for p, _ in s_flat]
+    for (path, a), (_, b) in zip(d_flat, s_flat):
+        assert a.shape == b.shape and a.dtype == b.dtype, path
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-8, err_msg=str(path))
+
+    # the forward built from scatter-init variables runs the pallas path
+    out = m.apply(via_scatter, *args, train=False)
+    ref = QAGNNMessagePassing(k=2, n_ntype=N_NTYPE, n_etype=N_ETYPE,
+                              hidden_size=D, dropout=0.0, head_count=HEADS,
+                              backend="scatter").apply(
+        via_scatter, *args, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)

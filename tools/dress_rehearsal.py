@@ -178,7 +178,8 @@ def main():
           f"{batch.graph.edge_src.shape} |", flush=True)
 
     rng = jax.random.PRNGKey(cfg.seed)
-    variables = model.init(rng, batch.lm_inputs, batch.graph)
+    from qagnn_tpu.utils.initialization import init_variables
+    variables = init_variables(model, rng, batch.lm_inputs, batch.graph)
     from qagnn_tpu.train.step import _merge_pretrained
     pretrained = {"decoder": {"concept_emb": {"emb": {
         "embedding": jnp.asarray(cp_emb)}}}}
