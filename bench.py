@@ -134,6 +134,15 @@ def replicate(tree, mesh):
     return jax.tree.map(lambda x: jax.device_put(x, rep), tree)
 
 
+def _gnn_mesh_for(mesh, backend):
+    """The mesh to hand the MODEL: non-None only when a model axis > 1
+    must edge-partition the fused Pallas kernels via shard_map."""
+    if mesh is None or mesh.shape.get("model", 1) <= 1:
+        return None
+    from qagnn_tpu.ops.gat_attention import default_backend
+    return mesh if (backend or default_backend()) == "pallas" else None
+
+
 # ---------------------------------------------------------------------------
 # mode gnn: bespoke step over the message-passing module only
 # ---------------------------------------------------------------------------
@@ -158,19 +167,14 @@ def run_gnn(args, mesh):
     edge_mask = jnp.ones((G, E), bool)
 
     train = not args.eval
-    backend = args.backend
-    if mesh is not None and mesh.shape.get("model", 1) > 1:
-        from qagnn_tpu.ops.gat_attention import default_backend
-        if (backend or default_backend()) == "pallas":
-            # GSPMD cannot partition the Mosaic custom call; the
-            # declarative mesh path runs the auto-partitionable onehot
-            # backend (the explicit fused-kernel partitioning lives in
-            # qagnn_tpu/parallel/edge_shard_pallas.py)
-            backend = "onehot"
+    # model axis > 1 + pallas: the model runs the fused kernels
+    # edge-partitioned via shard_map (parallel/edge_shard_pallas) — the
+    # production multi-device path the driver uses
+    gnn_mesh = _gnn_mesh_for(mesh, args.backend)
     model = QAGNNMessagePassing(k=K, n_ntype=N_NTYPE, n_etype=N_ETYPE,
                                 hidden_size=D,
                                 dropout=0.2 if train else 0.0,
-                                backend=backend,
+                                backend=args.backend, mesh=gnn_mesh,
                                 dtype=getattr(jnp, args.dtype))
     from qagnn_tpu.utils.initialization import init_variables
     variables = init_variables(model, jax.random.PRNGKey(0), H, node_type,
@@ -277,7 +281,8 @@ def run_driver(args, mesh):
         encoder=encoder, sent_dim=enc_cfg.hidden_size, k=K, n_ntype=N_NTYPE,
         n_etype=N_ETYPE, n_concept=N_CONCEPT, concept_dim=D,
         concept_in_dim=CIN, n_attention_head=2, fc_dim=D, n_fc_layer=0,
-        gnn_backend=args.backend, gnn_dtype=getattr(jnp, args.dtype))
+        gnn_backend=args.backend, gnn_dtype=getattr(jnp, args.dtype),
+        gnn_mesh=_gnn_mesh_for(mesh, args.backend))
 
     rng = np.random.default_rng(0)
     lm_inputs = {

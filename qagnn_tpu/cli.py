@@ -22,8 +22,13 @@ import numpy as np
 from qagnn_tpu.utils.config import TrainConfig, config_from_argv
 
 
-def build_model_and_data(cfg: TrainConfig, tokenizer=None):
-    """Construct dataloader + model from a resolved TrainConfig."""
+def build_model_and_data(cfg: TrainConfig, tokenizer=None, gnn_mesh=None):
+    """Construct dataloader + model from a resolved TrainConfig.
+
+    gnn_mesh: a (data, model) Mesh with model axis > 1 routes the fused
+    Pallas kernels through their edge-partitioned shard_map form
+    (qagnn_tpu/parallel/edge_shard_pallas) instead of downgrading to a
+    slower XLA backend."""
     import jax.numpy as jnp
 
     from qagnn_tpu.data.loader import QAGNNDataLoader
@@ -67,7 +72,7 @@ def build_model_and_data(cfg: TrainConfig, tokenizer=None):
         fc_dim=cfg.fc_dim, n_fc_layer=cfg.fc_layer_num,
         p_emb=cfg.dropouti, p_gnn=cfg.dropoutg, p_fc=cfg.dropoutf,
         init_std=cfg.init_range, gnn_backend=cfg.gnn_backend,
-        gnn_dtype=resolve_gnn_dtype(cfg.gnn_dtype))
+        gnn_dtype=resolve_gnn_dtype(cfg.gnn_dtype), gnn_mesh=gnn_mesh)
     return dataset, model, cp_emb, pretrained_encoder
 
 
@@ -203,19 +208,40 @@ def train(cfg: TrainConfig) -> dict:
     with open(log_path, "w") as f:
         f.write("step,dev_acc,test_acc\n")
 
-    if max(1, cfg.mesh_model) > 1:
-        from qagnn_tpu.ops.gat_attention import default_backend
-        if (cfg.gnn_backend or default_backend()) == "pallas":
-            # GSPMD cannot partition a Mosaic custom call, so under
-            # model-axis edge partitioning the declarative mesh path runs
-            # the XLA onehot backend (auto-partitioned with the right
-            # psums). The fused kernels' explicit edge-partitioned form
-            # lives in qagnn_tpu/parallel/edge_shard_pallas.py.
-            print("| mesh_model>1: gnn_backend -> onehot (GSPMD cannot "
-                  "partition the fused Pallas kernels) |", flush=True)
-            cfg.gnn_backend = "onehot"
+    # ---- device mesh, decided BEFORE the model is built (replaces the
+    # reference's 2-GPU split, reference qagnn.py:132-140): with a model
+    # axis > 1 the model itself must partition the fused Pallas kernels
+    # over it (GSPMD cannot split a Mosaic custom call, so GATConvE routes
+    # through the shard_map form in parallel/edge_shard_pallas) -----------
+    mesh = None
+    gnn_mesh = None
+    n_model = max(1, cfg.mesh_model)
+    if cfg.mesh_data:
+        n_data = cfg.mesh_data
+        assert cfg.batch_size % n_data == 0, (
+            f"batch_size {cfg.batch_size} must divide over {n_data} "
+            "data-parallel devices")
+        assert cfg.eval_batch_size % n_data == 0, (
+            f"eval_batch_size {cfg.eval_batch_size} must divide over "
+            f"{n_data} data-parallel devices")
+    else:
+        # auto: as many data-parallel devices as both batch sizes divide over
+        n_data = max(1, jax.device_count() // n_model)
+        while cfg.batch_size % n_data or cfg.eval_batch_size % n_data:
+            n_data -= 1
+    if n_data * n_model > 1:
+        from qagnn_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(n_data, n_model)
+        if n_model > 1:
+            from qagnn_tpu.ops.gat_attention import default_backend
+            if (cfg.gnn_backend or default_backend()) == "pallas":
+                gnn_mesh = mesh
+                print(f"| mesh_model={n_model}: fused Pallas kernels run "
+                      "edge-partitioned (shard_map, 5 collectives) |",
+                      flush=True)
 
-    dataset, model, cp_emb, pretrained_encoder = build_model_and_data(cfg)
+    dataset, model, cp_emb, pretrained_encoder = build_model_and_data(
+        cfg, gnn_mesh=gnn_mesh)
     if pretrained_encoder is None and cfg.encoder != "tiny":
         print(f"WARNING: encoder {cfg.encoder!r} starts from RANDOM weights "
               "— pass --encoder_load for the reference's pretrained-LM "
@@ -278,27 +304,10 @@ def train(cfg: TrainConfig) -> dict:
     print(f"| encoder params {enc_params:,} | decoder params {dec_params:,} "
           f"| total {_count(state.params):,} |", flush=True)
 
-    # ---- device mesh (replaces the reference's 2-GPU split,
-    # reference qagnn.py:132-140) -------------------------------------------
-    mesh = None
-    n_model = max(1, cfg.mesh_model)
-    if cfg.mesh_data:
-        n_data = cfg.mesh_data
-        assert cfg.batch_size % n_data == 0, (
-            f"batch_size {cfg.batch_size} must divide over {n_data} "
-            "data-parallel devices")
-        assert cfg.eval_batch_size % n_data == 0, (
-            f"eval_batch_size {cfg.eval_batch_size} must divide over "
-            f"{n_data} data-parallel devices")
-    else:
-        # auto: as many data-parallel devices as both batch sizes divide over
-        n_data = max(1, jax.device_count() // n_model)
-        while cfg.batch_size % n_data or cfg.eval_batch_size % n_data:
-            n_data -= 1
-    if n_data * n_model > 1:
+    # ---- place state + batches on the mesh built above -------------------
+    if mesh is not None:
         from qagnn_tpu.parallel.mesh import (
-            make_mesh, param_shardings, replicated, shard_batch)
-        mesh = make_mesh(n_data, n_model)
+            param_shardings, replicated, shard_batch)
         rep = replicated(mesh)
         state = state.replace(
             params=jax.device_put(state.params,

@@ -25,6 +25,7 @@ Same math, different execution strategy:
 from __future__ import annotations
 
 import math
+from typing import Any
 
 import flax.linen as nn
 import jax
@@ -36,6 +37,7 @@ from qagnn_tpu.ops.gat_attention import (
     default_backend,
     relational_gat_attention_nodes,
 )
+from qagnn_tpu.parallel.mesh import MODEL_AXIS
 
 Array = jax.Array
 
@@ -174,6 +176,10 @@ class GATConvE(nn.Module):
     init_std: float = 0.02
     backend: str | None = None
     dtype: jnp.dtype = jnp.float32   # compute dtype for projections/contractions
+    mesh: Any = None     # jax.sharding.Mesh with a 'model' axis > 1: run the
+                         # fused kernels edge-partitioned via shard_map
+                         # (GSPMD cannot partition a Mosaic custom call) —
+                         # parallel/edge_shard_pallas. pallas backend only.
 
     @nn.compact
     def __call__(
@@ -224,6 +230,12 @@ class GATConvE(nn.Module):
             or (backend == "pallas" and not return_alpha), \
             "edge-emb chaining/composition only exists on the fused " \
             "pallas path"
+        n_shards = 1
+        if self.mesh is not None and backend == "pallas":
+            n_shards = self.mesh.shape.get(MODEL_AXIS, 1)
+        assert n_shards == 1 or (chain_in is None and not chain_out), \
+            "cross-layer edge-emb chaining is single-shard only (the " \
+            "sharded op has no passthrough variant)"
         if backend == "pallas" and not return_alpha:
             # Fused path: the key_e/msg_e projections run INSIDE the Pallas
             # kernels per edge tile (qagnn_tpu.ops.pallas_gat projected
@@ -262,10 +274,12 @@ class GATConvE(nn.Module):
             else:
                 # the fused op takes the edge embedding TRANSPOSED (G, D, E)
                 # — the layout the kernels consume natively (and the fused
-                # edge-encoder kernel produces natively).
+                # edge-encoder kernel produces natively). Under edge
+                # partitioning the padded E must also split evenly into
+                # n_shards whole-tile slices.
                 t_e, src_p, dst_p, mask_p = pad_edges_to_tile(
                     edge_src, edge_dst, edge_mask.astype(nq.dtype),
-                    dtype=nq.dtype)
+                    dtype=nq.dtype, shards=n_shards)
                 emb_p = edge_emb.astype(cdt) if emb_transposed \
                     else jnp.swapaxes(edge_emb.astype(cdt), 1, 2)
                 E_pad = src_p.shape[1]
@@ -273,17 +287,28 @@ class GATConvE(nn.Module):
                     emb_p = jnp.pad(
                         emb_p, ((0, 0), (0, 0), (0, E_pad - emb_p.shape[2])))
             from qagnn_tpu.utils.tpu import lowering_platform
+            interp = lowering_platform() != "tpu"
             args = (nq, key_x_d(x), msg_x_d(x), emb_p,
                     wke, bke, wme, bme,
                     proj(self_emb, wke, bke), proj(self_emb, wme, bme),
-                    src_p, dst_p, mask_p, h,
-                    lowering_platform() != "tpu")
-            if chain_out:
+                    src_p, dst_p, mask_p)
+            if n_shards > 1:
+                # production kernels on a (data, model) mesh: each model-
+                # axis device runs the fused passes on its E/n_shards edge
+                # slice; 5 collectives knit the shards (see
+                # parallel/edge_shard_pallas). This is what the driver runs
+                # when mesh_model > 1 — replaces the reference's only
+                # multi-device mode (reference qagnn.py:132-140).
+                from qagnn_tpu.parallel.edge_shard_pallas import (
+                    pallas_edge_sharded_projected)
+                aggr = pallas_edge_sharded_projected(
+                    *args, h, self.mesh, interp)
+            elif chain_out:
                 aggr, emb_pass = pallas_relational_gat_projected_chained(
-                    *args)
+                    *args, h, interp)
                 chain_next = (emb_pass, src_p, dst_p, mask_p)
             else:
-                aggr = pallas_relational_gat_projected(*args)
+                aggr = pallas_relational_gat_projected(*args, h, interp)
         else:
             key_e_d = nn.Dense(d, dtype=self.dtype,
                                kernel_init=normal_init(self.init_std),
@@ -355,6 +380,8 @@ class QAGNNMessagePassing(nn.Module):
     init_std: float = 0.02
     backend: str | None = None   # sparse-op backend; None = auto per platform
     dtype: jnp.dtype = jnp.float32   # compute dtype for the GNN hot path
+    mesh: Any = None   # Mesh with model axis > 1: pallas layers run
+                       # edge-partitioned (parallel/edge_shard_pallas)
 
     @nn.compact
     def __call__(
@@ -412,11 +439,14 @@ class QAGNNMessagePassing(nn.Module):
         # msg_e projections (emb_proj).
         use_fused = ((self.backend or default_backend()) == "pallas"
                      and not return_alpha)
+        n_shards = 1
+        if self.mesh is not None and use_fused:
+            n_shards = self.mesh.shape.get(MODEL_AXIS, 1)
         enc = EdgeEncoder(hidden_size=D, num_updates=self.k,
                           init_std=self.init_std, dtype=self.dtype,
                           name="edge_encoder")
         emb_proj = None
-        if use_fused:
+        if use_fused and n_shards == 1:
             (edge_emb, self_emb), emb_proj = enc(
                 self_feat.reshape(G * N, nfeat), train=train,
                 return_hidden=True,
@@ -424,6 +454,30 @@ class QAGNNMessagePassing(nn.Module):
                            edge_mask),
                 n_rel=self.n_etype + 1, n_ntype=self.n_ntype)
             # edge_emb: (G, D, E_pad) transposed hidden states
+            self_emb = self_emb.reshape(G, N, D)
+        elif use_fused:
+            # Edge-partitioned path: the fused edge-encoder kernels are
+            # Mosaic calls GSPMD cannot partition, so the encoder runs its
+            # XLA form here (one-hot features + Dense linear_0 + masked BN
+            # — GSPMD auto-partitions the E-sharded elementwise ops and
+            # psums the BN moment reductions), while linear_1 still
+            # composes into the sharded GAT kernels' in-kernel projections
+            # via emb_proj. The GAT layers themselves run the production
+            # Pallas kernels per edge shard (parallel/edge_shard_pallas).
+            e_rel = jax.nn.one_hot(edge_type, self.n_etype + 1, dtype=fdt)
+            head_t = jnp.take_along_axis(node_type, edge_src, axis=1)
+            tail_t = jnp.take_along_axis(node_type, edge_dst, axis=1)
+            e_head = jax.nn.one_hot(head_t, self.n_ntype, dtype=fdt)
+            e_tail = jax.nn.one_hot(tail_t, self.n_ntype, dtype=fdt)
+            edge_feat = jnp.concatenate([e_rel, e_head, e_tail], axis=-1)
+            (edge_emb, self_emb), emb_proj = enc(
+                [(edge_feat.reshape(G * E, nfeat),
+                  edge_mask.reshape(-1).astype(H.dtype)),
+                 (self_feat.reshape(G * N, nfeat), None)], train=train,
+                return_hidden=True)
+            # pre-linear_1 hidden states, transposed to the kernels'
+            # (G, D, E) layout
+            edge_emb = jnp.swapaxes(edge_emb.reshape(G, E, D), 1, 2)
             self_emb = self_emb.reshape(G, N, D)
         else:
             # One-hot features are exact in any float dtype — build them
@@ -454,10 +508,11 @@ class QAGNNMessagePassing(nn.Module):
         # pallas_relational_gat_projected_chained).
         chain = None
         for i in range(self.k):
-            chain_out = use_fused and i < self.k - 1
+            chain_out = use_fused and n_shards == 1 and i < self.k - 1
             X = GATConvE(emb_dim=D, head_count=self.head_count,
                          init_std=self.init_std, backend=self.backend,
-                         dtype=self.dtype, name=f"gnn_layer_{i}")(
+                         dtype=self.dtype, mesh=self.mesh,
+                         name=f"gnn_layer_{i}")(
                 jnp.concatenate([X, node_extra], axis=2),
                 edge_src, edge_dst, edge_mask, edge_emb, self_emb,
                 train=train, return_alpha=return_alpha,

@@ -63,6 +63,8 @@ class QAGNN(nn.Module):
     init_std: float = 0.02
     gnn_backend: str | None = None       # sparse backend; None = auto
     gnn_dtype: Any = jnp.float32         # GNN hot-path compute dtype
+    gnn_mesh: Any = None                 # Mesh w/ model axis > 1: fused
+                                         # kernels run edge-partitioned
 
     @nn.compact
     def __call__(self, sent_vecs: Array, graph: BatchedGraphs, *,
@@ -95,7 +97,7 @@ class QAGNN(nn.Module):
             k=self.k, n_ntype=self.n_ntype, n_etype=self.n_etype,
             hidden_size=self.concept_dim, dropout=self.p_gnn,
             init_std=self.init_std, backend=self.gnn_backend,
-            dtype=self.gnn_dtype, name="gnn")(
+            dtype=self.gnn_dtype, mesh=self.gnn_mesh, name="gnn")(
             gnn_input, graph.node_types, node_scores,
             graph.edge_src, graph.edge_dst, graph.edge_type, graph.edge_mask,
             train=train, return_alpha=return_gnn_attn)
@@ -161,6 +163,7 @@ class LMQAGNN(nn.Module):
     init_std: float = 0.02
     gnn_backend: str | None = None
     gnn_dtype: Any = jnp.float32
+    gnn_mesh: Any = None
 
     @nn.compact
     def __call__(self, lm_inputs: dict[str, Array], graph: BatchedGraphs, *,
@@ -191,7 +194,7 @@ class LMQAGNN(nn.Module):
             n_fc_layer=self.n_fc_layer, p_emb=self.p_emb, p_gnn=self.p_gnn,
             p_fc=self.p_fc, init_std=self.init_std,
             gnn_backend=self.gnn_backend, gnn_dtype=self.gnn_dtype,
-            name="decoder")(
+            gnn_mesh=self.gnn_mesh, name="decoder")(
             sent_vecs, graph, train=train,
             return_pool_attn=return_pool_attn or detail,
             return_gnn_attn=detail)

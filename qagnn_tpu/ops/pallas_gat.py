@@ -97,12 +97,19 @@ def _tile_for(n_edges: int, dtype) -> int:
     return base // 8
 
 
-def pad_edges_to_tile(src, dst, mask, *edge_arrays, dtype):
+def pad_edges_to_tile(src, dst, mask, *edge_arrays, dtype, shards: int = 1):
     """Pad the edge axis so the tile divides it evenly (masked slots are
-    inert: zero one-hot columns). Returns (tile, padded arrays...)."""
+    inert: zero one-hot columns). Returns (tile, padded arrays...).
+
+    shards > 1: pad so the edge axis ALSO divides evenly into `shards`
+    equal slices each a whole number of tiles — the layout the
+    edge-partitioned shard_map path (parallel/edge_shard_pallas) needs,
+    where every model-axis device runs the kernels on its local E/shards
+    slice."""
     E = src.shape[1]
-    t = _tile_for(E, dtype)
-    E_pad = -(-E // t) * t
+    local = -(-E // shards)
+    t = _tile_for(local, dtype)
+    E_pad = shards * (-(-local // t) * t)
     if E_pad == E:
         return (t, src, dst, mask) + edge_arrays
     pad = E_pad - E

@@ -52,8 +52,10 @@ def test_cli_overfit_checkpoint_eval_detail_resume(tmp_path, monkeypatch):
 
     import qagnn_tpu.cli as cli
     orig = cli.build_model_and_data
-    monkeypatch.setattr(cli, "build_model_and_data",
-                        lambda cfg, tokenizer=None: orig(cfg, tokenizer=tok))
+    monkeypatch.setattr(
+        cli, "build_model_and_data",
+        lambda cfg, tokenizer=None, gnn_mesh=None:
+        orig(cfg, tokenizer=tok, gnn_mesh=gnn_mesh))
 
     cfg = _fix_paths(TrainConfig(
         dataset="csqa", encoder="tiny", inhouse=False,
@@ -114,8 +116,10 @@ def test_cli_train_end_to_end(tmp_path, monkeypatch):
     # route the tiny encoder + our tokenizer through the driver
     import qagnn_tpu.cli as cli
     orig = cli.build_model_and_data
-    monkeypatch.setattr(cli, "build_model_and_data",
-                        lambda cfg, tokenizer=None: orig(cfg, tokenizer=tok))
+    monkeypatch.setattr(
+        cli, "build_model_and_data",
+        lambda cfg, tokenizer=None, gnn_mesh=None:
+        orig(cfg, tokenizer=tok, gnn_mesh=gnn_mesh))
 
     cfg = TrainConfig(
         dataset="csqa", encoder="tiny", inhouse=False,
@@ -161,8 +165,10 @@ def test_cli_train_gpt_xlnet_encoders(tmp_path, monkeypatch, encoder):
 
     import qagnn_tpu.cli as cli
     orig = cli.build_model_and_data
-    monkeypatch.setattr(cli, "build_model_and_data",
-                        lambda cfg, tokenizer=None: orig(cfg, tokenizer=tok))
+    monkeypatch.setattr(
+        cli, "build_model_and_data",
+        lambda cfg, tokenizer=None, gnn_mesh=None:
+        orig(cfg, tokenizer=tok, gnn_mesh=gnn_mesh))
 
     cfg = _fix_paths(TrainConfig(
         dataset="csqa", encoder=encoder, inhouse=False,
@@ -219,8 +225,10 @@ def test_cli_train_mesh_loss_parity(tmp_path, monkeypatch):
 
     import qagnn_tpu.cli as cli
     orig = cli.build_model_and_data
-    monkeypatch.setattr(cli, "build_model_and_data",
-                        lambda cfg, tokenizer=None: orig(cfg, tokenizer=tok))
+    monkeypatch.setattr(
+        cli, "build_model_and_data",
+        lambda cfg, tokenizer=None, gnn_mesh=None:
+        orig(cfg, tokenizer=tok, gnn_mesh=gnn_mesh))
 
     base = _fix_paths(TrainConfig(
         dataset="csqa", encoder="tiny", inhouse=False,
@@ -243,3 +251,52 @@ def test_cli_train_mesh_loss_parity(tmp_path, monkeypatch):
     np.testing.assert_allclose(r1["train_losses"], r8["train_losses"],
                                rtol=2e-4, atol=2e-5)
     assert r1["best_dev_acc"] == r8["best_dev_acc"]
+
+
+def test_cli_train_mesh_pallas_loss_parity(tmp_path, monkeypatch):
+    """mesh_model>1 with the PRODUCTION pallas backend: the driver routes
+    GATConvE through the edge-partitioned shard_map form
+    (parallel/edge_shard_pallas — no silent downgrade to a slower XLA
+    backend), and the per-step losses match the single-device fused run
+    up to collective reassociation + the sharded path's XLA edge encoder
+    (same math, different BN-moment association)."""
+    import dataclasses
+
+    root = str(tmp_path / "data")
+    emb_path = _write_dataset(root)
+    tok = _tokenizer(tmp_path)
+
+    import qagnn_tpu.cli as cli
+    orig = cli.build_model_and_data
+    seen_meshes = []
+
+    def wrapped(cfg, tokenizer=None, gnn_mesh=None):
+        seen_meshes.append(gnn_mesh)
+        return orig(cfg, tokenizer=tok, gnn_mesh=gnn_mesh)
+
+    monkeypatch.setattr(cli, "build_model_and_data", wrapped)
+
+    base = _fix_paths(TrainConfig(
+        dataset="csqa", encoder="tiny", inhouse=False,
+        save_dir=str(tmp_path / "out1"), save_model=False,
+        n_epochs=1, batch_size=4, mini_batch_size=2, eval_batch_size=4,
+        max_seq_len=16, max_node_num=8, num_relation=10,
+        k=2, gnn_dim=8, fc_dim=8, att_head_num=2,
+        unfreeze_epoch=0, log_interval=1000,
+        mesh_data=1, mesh_model=1, gnn_backend="pallas",
+    ).resolved(), root, emb_path)
+
+    r1 = cli.train(base)
+    assert seen_meshes[-1] is None   # single device: no model-axis mesh
+
+    cfg8 = dataclasses.replace(base, mesh_data=4, mesh_model=2,
+                               save_dir=str(tmp_path / "out8"))
+    r8 = cli.train(cfg8)
+    assert seen_meshes[-1] is not None, (
+        "driver failed to hand the model the mesh for edge partitioning")
+    assert seen_meshes[-1].shape["model"] == 2
+
+    assert r1["train_losses"] and len(r1["train_losses"]) == \
+        len(r8["train_losses"])
+    np.testing.assert_allclose(r1["train_losses"], r8["train_losses"],
+                               rtol=5e-4, atol=5e-5)
