@@ -72,10 +72,13 @@ def parse_args(argv=None):
                          "fwd+bwd)")
     ap.add_argument("--infer", action="store_true",
                     help="bench the pure serving forward (no backward)")
-    ap.add_argument("--prng", default="default",
-                    choices=["default", "rbg", "threefry2x32"],
-                    help="PRNG impl for dropout masks (rbg: +3% on the "
-                         "GNN-only step but unstable driver timings)")
+    ap.add_argument("--prng", default="auto",
+                    choices=["auto", "default", "rbg", "threefry2x32"],
+                    help="PRNG impl for dropout masks. auto = rbg "
+                         "(hardware RNG) on TPU: +2.5%% and stable — the "
+                         "round-4 'rbg instability' was measurement "
+                         "corruption from compile-service activity, not "
+                         "rbg (see README). default = threefry everywhere")
     ap.add_argument("--mode", default="gnn", choices=["gnn", "driver"])
     ap.add_argument("--no_driver", action="store_true",
                     help="skip the extra driver-mode measurement the "
@@ -245,11 +248,21 @@ def run_gnn(args, mesh):
     t0 = time.perf_counter()
     run(2)   # compile + warm
     compile_s = time.perf_counter() - t0
+    return _slope_edges_per_s(run, args, G * E * K), compile_s
+
+
+def _slope_edges_per_s(run, args, edges_per_step):
+    """Per-step time as the slope between a short and a long run, each the
+    MIN of two attempts. Timing contamination on this remote-tunneled
+    runtime is ADDITIVE (leftover compile-service / tunnel activity right
+    after a fresh compile once inflated a short run enough to report an
+    impossible 1.09x-of-roofline number), so min-of-2 filters it; the
+    slope then cancels fixed dispatch overhead as before."""
     lo, hi = max(args.iters // 5, 2), args.iters
-    t_lo = run(lo)
-    t_hi = run(hi)
+    t_lo = min(run(lo), run(lo))
+    t_hi = min(run(hi), run(hi))
     dt = (t_hi - t_lo) / (hi - lo)
-    return G * E * K / dt, compile_s
+    return edges_per_step / dt
 
 
 # ---------------------------------------------------------------------------
@@ -335,11 +348,7 @@ def run_driver(args, mesh):
     t0 = time.perf_counter()
     run(2)
     compile_s = time.perf_counter() - t0
-    lo, hi = max(args.iters // 5, 2), args.iters
-    t_lo = run(lo)
-    t_hi = run(hi)
-    dt = (t_hi - t_lo) / (hi - lo)
-    return G * E * K / dt, compile_s
+    return _slope_edges_per_s(run, args, G * E * K), compile_s
 
 
 def main():
@@ -355,14 +364,19 @@ def main():
     # remote TPU compile
     jax.config.update("jax_compilation_cache_dir", "/tmp/qagnn_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    if args.prng != "default":
-        # rbg (hardware RNG) measured +3% on the GNN-only step (threefry
-        # mask generation costs real VPU time per dropout layer) but made
-        # the DRIVER step's timing unstable across runs (27M-88M edges/s
-        # for the same program) — so it stays opt-in, not the default
-        jax.config.update("jax_default_prng_impl", args.prng)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    prng = args.prng
+    if prng == "auto":
+        # rbg (hardware RNG) on TPU: threefry dropout-mask generation is
+        # real VPU time (+2.5% measured). The round-4 "instability" under
+        # rbg was root-caused to timing contamination from remote-compile
+        # activity (one contaminated short run reported an impossible
+        # 1.09x-of-roofline number) — fixed by min-of-2 timing runs, see
+        # _slope_edges_per_s; warm rbg runs are as stable as threefry.
+        prng = "rbg" if jax.default_backend() == "tpu" else "default"
+    if prng != "default":
+        jax.config.update("jax_default_prng_impl", prng)
     # honest compile-time story: compile_s below is only meaningful relative
     # to the persistent-cache state, so record it (a cold tunneled
     # Mosaic+XLA compile of the full Pallas step is ~20 min; warm is seconds)

@@ -194,8 +194,11 @@ def train(cfg: TrainConfig) -> dict:
     import jax
     import jax.numpy as jnp
 
-    if cfg.prng_impl and cfg.prng_impl != "default":
-        jax.config.update("jax_default_prng_impl", cfg.prng_impl)
+    prng = cfg.prng_impl
+    if prng == "auto":   # hardware RNG on TPU: +2.5%, measurement-stable
+        prng = "rbg" if jax.default_backend() == "tpu" else "default"
+    if prng and prng != "default":
+        jax.config.update("jax_default_prng_impl", prng)
 
     from qagnn_tpu.train.optim import build_train_optimizer
     from qagnn_tpu.train.step import (

@@ -76,19 +76,26 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 # 2048 is the VMEM sweet spot: kernel-body intermediates (eq/ek/msg tiles)
-# are f32 at (HD, T). T=4096 overflows the DEFAULT 16 MB scoped-vmem cap in
-# the FORWARD kernels (v5e: aggr 16.39M > 16M) — and forward-only jits like
-# model.init don't carry the raised xla_tpu_scoped_vmem_limit_kib the train
-# step uses (qagnn_tpu.utils.tpu), so the fwd working set must fit in 16 MB.
-TILE_E = 2048
+# are f32 at (HD, T), and the measured v5e step is tile-size-neutral from
+# 2048 up (per-program overhead already amortized). Since init moved off
+# the fused kernels (qagnn_tpu.utils.initialization) every compile carries
+# the raised scoped-vmem cap, so larger tiles are legal — QAGNN_TILE_E
+# overrides for experiments (pair with QAGNN_SCOPED_VMEM_KIB).
+import os as _os
+
+TILE_E = int(_os.environ.get("QAGNN_TILE_E", "2048"))
+# backward-only tile override (the bwd working set differs; measured on
+# v5e: no better than 2048 — see README TILE sweep)
+TILE_E_BWD = int(_os.environ.get("QAGNN_TILE_E_BWD", "0")) or TILE_E
 _DENOM_EPS = 1e-16
 _NEG = -1e30
 
 
-def _tile_for(n_edges: int, dtype) -> int:
+def _tile_for(n_edges: int, dtype, bwd: bool = False) -> int:
     """Edge-tile size: big tiles amortize Mosaic per-program overhead; f32
     operands halve the budget to stay within scoped VMEM."""
-    base = TILE_E if jnp.dtype(dtype).itemsize < 4 else TILE_E // 2
+    tile = TILE_E_BWD if bwd else TILE_E
+    base = tile if jnp.dtype(dtype).itemsize < 4 else tile // 2
     if n_edges <= base:
         return n_edges
     for t in (base, base // 2, base // 4, base // 8):
@@ -252,11 +259,45 @@ def _hd_from_h(sel, x_ht, cdt=None):
         preferred_element_type=jnp.float32)
 
 
-def _h_from_hd(sel, x_hdt):
-    """(HD, H) contracted with (HD, T) over HD -> (H, T) per-head sum."""
+def _h_from_hd(sel, x_hdt, cdt=None):
+    """(HD, H) contracted with (HD, T) over HD -> (H, T) per-head sum.
+
+    cdt: contraction dtype — bf16 on the hot path rounds the per-edge
+    products once before the head sum (f32 accumulate), the same
+    single-rounding class as the XLA onehot backend's cdt score einsums;
+    an f32 selector matmul costs ~4x the MXU passes."""
+    if cdt is None:
+        cdt = jnp.float32
     return jax.lax.dot_general(
-        sel, x_hdt, dimension_numbers=(((0,), (0,)), ((), ())),
+        sel.astype(cdt), x_hdt.astype(cdt),
+        dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
+
+
+def _plane_stride(heads: int) -> int:
+    """Feature-row stride for packed (N, H) planes: whole 8-row sublane
+    groups so in-kernel static slices stay aligned (f32 vregs are 8 rows)."""
+    return -(-heads // 8) * 8
+
+
+def _pack_node_planes(base, *planes):
+    """[base ‖ plane_0 ‖ plane_1 ...] along the feature axis, each plane
+    padded to whole 8-row groups.
+
+    One (N, T) one-hot gather of the packed array then yields EVERY
+    per-node operand a kernel pass needs: the separate (N, H) per-head
+    gathers this replaces cost ~half a full (N, F) gather on the MXU
+    (their H-wide output pads to a full lane tile), while the extra H+pad
+    rows ride the F-dim padding the (N, 200) gather already pays
+    (200 -> 256 lanes). Requires base F % 8 == 0."""
+    parts = [base]
+    for p in planes:
+        pad = (-p.shape[-1]) % 8
+        p = p.astype(base.dtype)
+        if pad:
+            p = jnp.pad(p, ((0, 0), (0, 0), (0, pad)))
+        parts.append(p)
+    return jnp.concatenate(parts, axis=-1)
 
 
 def _proj_ft(w_ref, emb_t, cdt):
@@ -635,6 +676,9 @@ def _scores_proj_kernel(nq_ref, nk_ref, emb_ref, wke_ref, bke_ref,
         + bke_ref[...].astype(f32)                               # (HD, T)
     eq = _gather_ft(oh_s, nq_ref[0])                             # (HD, T)
     ek = _gather_ft(oh_d, nk_ref[0]) + ekb_t
+    # f32 head-sum: measured the same speed as a cdt contraction (the
+    # M=H selector matmuls are latency-hidden), so keep full score
+    # precision
     s = _h_from_hd(sel, eq * ek)                                 # (H, T)
     scores_ref[0] = s
 
@@ -647,13 +691,17 @@ def _scores_proj_kernel(nq_ref, nk_ref, emb_ref, wke_ref, bke_ref,
     # exp clamped at 0: exact for real edges (s <= new_m), keeps padded
     # edges' garbage scores from overflowing before the mask multiply
     e = jnp.exp(jnp.minimum(s - new_m, 0.0)) * mask_t            # (H, T)
-    oh_sm = oh_s.astype(f32) \
-        * jnp.broadcast_to(mask_ref[0], oh_s.shape).astype(f32)  # (N, T)
+    oh_sm = oh_s * jnp.broadcast_to(
+        mask_ref[0], oh_s.shape).astype(cdt)                     # (N, T) cdt
+    # cdt contraction with f32 accumulation — one-hots are exact in bf16,
+    # only the exp values round, the same single-rounding class as the
+    # XLA onehot backend's cdt denominator einsum
     denom_ref[0] = denom_ref[0] * jnp.exp(m_old - new_m) \
         + jax.lax.dot_general(
-            e, oh_sm, dimension_numbers=(((1,), (1,)), ((), ())),
+            e.astype(cdt), oh_sm,
+            dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=f32)                          # (H, N)
-    deg_ref[0] += jnp.sum(oh_sm, axis=1).reshape(n_nodes, 1)
+    deg_ref[0] += jnp.sum(oh_sm.astype(f32), axis=1).reshape(n_nodes, 1)
 
 
 def _edge_exp(scores_ref, gmax_ref, mask_ref):
@@ -665,57 +713,92 @@ def _edge_exp(scores_ref, gmax_ref, mask_ref):
     return jnp.exp(jnp.minimum(s - gmax_ref[0], 0.0)) * mask_t
 
 
-def _aggr_proj_kernel(nm_ref, emb_ref, wme_ref, bme_ref, scores_ref,
-                      gmax_ref, scale_ref,
-                      src_ref, dst_ref, mask_ref, out_ref,
-                      *, n_nodes, hd, heads):
+def _aggr_proj_kernel(nms_ref, emb_ref, wme_ref, bme_ref, scores_ref,
+                      gmax_ref, src_ref, dst_ref, mask_ref, *refs,
+                      n_nodes, hd, heads, self_init=False):
+    """nms_ref: (1, N, HD + stride) — [nm ‖ scale] packed so ONE gather
+    yields both the message base and the per-source softmax scale (the
+    separate (N, H) scale gather cost ~half a full gather).
+
+    self_init: two extra inputs (smb, self_alpha) seed the output
+    accumulator with the dense self-loop contribution at t == 0, so the
+    XLA-side `out_edges + msg_self * alpha_self` pass over three
+    (G, N, HD) f32 arrays never exists (single-chip path only — the
+    edge-sharded path must add the replicated self term once AFTER its
+    psum)."""
+    if self_init:
+        smb_ref, sa_ref, out_ref = refs
+    else:
+        (out_ref,) = refs
     f32 = jnp.float32
-    cdt = nm_ref.dtype
+    cdt = nms_ref.dtype
     sel = _selector(hd, heads, f32)
     t = pl.program_id(1)
 
     @pl.when(t == 0)
     def _():
-        out_ref[0] = jnp.zeros_like(out_ref[0])
+        if self_init:
+            # (N, H) -> (N, HD) per-head broadcast via the selector (K=H,
+            # negligible), then out0 = (nm + smb) * alpha_self
+            sa_hd = jax.lax.dot_general(
+                sa_ref[0], _selector(hd, heads, f32),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32)                      # (N, HD)
+            msg_self = nms_ref[0][:, :hd].astype(f32) \
+                + smb_ref[0].astype(f32)
+            out_ref[0] = msg_self * sa_hd
+        else:
+            out_ref[0] = jnp.zeros_like(out_ref[0])
 
     oh_s, oh_d = _tile_onehots(src_ref, dst_ref, None, n_nodes, cdt)
     emb_bias = _proj_ft(wme_ref, emb_ref[0], cdt) \
         + bme_ref[...].astype(f32)                               # (HD, T)
-    msg = _gather_ft(oh_s, nm_ref[0]) + emb_bias                 # (HD, T)
+    g_all = _gather_ft(oh_s, nms_ref[0])                         # (HD+s, T)
+    msg = g_all[:hd] + emb_bias                                  # (HD, T)
+    scale_src = g_all[hd:hd + heads]                             # (H, T)
     ee = _edge_exp(scores_ref, gmax_ref, mask_ref)               # (H, T)
-    alpha_ht = ee * _gather_ht(oh_s, scale_ref[0], cdt)          # (H, T)
+    alpha_ht = ee * scale_src                                    # (H, T)
     w = (msg * _hd_from_h(sel, alpha_ht, cdt)).astype(cdt)       # (HD, T)
     out_ref[0] += _scatter_ft(oh_d, w)
 
 
-def _bwd1_proj_kernel(gc_ref, nm_ref, emb_ref, wme_ref, bme_ref,
-                      scores_ref, gmax_ref, scale_ref,
+def _bwd1_proj_kernel(gc_ref, nms_ref, emb_ref, wme_ref, bme_ref,
+                      scores_ref, gmax_ref,
                       src_ref, dst_ref, mask_ref,
-                      *refs, n_nodes, hd, heads, has_carry=False):
+                      *refs, n_nodes, hd, heads, has_carry=False,
+                      self_init=False):
     """Pass 1 with in-kernel msg projection: d_msg -> (d_edge_emb part,
     dW_me/db_me grid-accumulated, dnm scatter), d_alpha, d_scale.
+
+    nms_ref packs [nm ‖ scale] so one oh_s gather serves both; the
+    per-source d_scale reduction rides as extra columns of the dnm
+    scatter (dnmsc_ref is (1, N, HD + heads)) — the separate (N, H)
+    gather and (N, H) reduction each cost ~half a full-width MXU pass.
 
     has_carry: an extra input tile carries the DOWNSTREAM layers'
     accumulated d_edge_emb (the chained k-layer backward,
     pallas_relational_gat_projected_chained); it is aliased with the demb
     output, so the cross-layer cotangent sum never exists as an XLA add."""
-    if has_carry:
-        (carry_ref, demb_ref, dalpha_ref, dscale_ref, dnm_ref,
-         dwme_ref, dbme_ref) = refs
-    else:
-        carry_ref = None
-        (demb_ref, dalpha_ref, dscale_ref, dnm_ref,
-         dwme_ref, dbme_ref) = refs
+    refs = list(refs)
+    carry_ref = refs.pop(0) if has_carry else None
+    # self_init: the dense self-loop cotangents [d_msg_self ‖ dscale_self]
+    # seed the merged scatter accumulator at t == 0, replacing the XLA
+    # adds over (G, N, HD+H) f32 arrays (single-chip path only — the
+    # sharded path adds the replicated self terms once after its psum)
+    dself_ref = refs.pop(0) if self_init else None
+    (demb_ref, dalpha_ref, dnmsc_ref, dwme_ref, dbme_ref) = refs
     f32 = jnp.float32
-    cdt = nm_ref.dtype
+    cdt = nms_ref.dtype
     sel = _selector(hd, heads, f32)
     g_id = pl.program_id(0)
     t = pl.program_id(1)
 
     @pl.when(t == 0)
     def _():
-        dscale_ref[0] = jnp.zeros_like(dscale_ref[0])
-        dnm_ref[0] = jnp.zeros_like(dnm_ref[0])
+        if self_init:
+            dnmsc_ref[0] = dself_ref[0]
+        else:
+            dnmsc_ref[0] = jnp.zeros_like(dnmsc_ref[0])
 
     @pl.when((g_id == 0) & (t == 0))
     def _():
@@ -731,9 +814,11 @@ def _bwd1_proj_kernel(gc_ref, nm_ref, emb_ref, wme_ref, bme_ref,
     emb_t = emb_ref[0]                                           # (D, T) cdt
     g_dst = _gather_ft(oh_d, gc_ref[0])                          # (HD, T)
     emb_bias = _proj_ft(wme_ref, emb_t, cdt) + bme_ref[...].astype(f32)
-    msg = _gather_ft(oh_s, nm_ref[0]) + emb_bias                 # (HD, T)
+    g_all = _gather_ft(oh_s, nms_ref[0])                         # (HD+s, T)
+    msg = g_all[:hd] + emb_bias                                  # (HD, T)
+    scale_src = g_all[hd:hd + heads]                             # (H, T)
     ee = _edge_exp(scores_ref, gmax_ref, mask_ref)               # (H, T)
-    alpha_ht = ee * _gather_ht(oh_s, scale_ref[0], cdt)          # (H, T)
+    alpha_ht = ee * scale_src                                    # (H, T)
     d_msg = _hd_from_h(sel, alpha_ht, cdt) * g_dst               # (HD, T) f32
     d_msg_c = d_msg.astype(cdt)
     # d(edge_emb) via this path: W_me contracted over HD -> (D, T)
@@ -748,39 +833,53 @@ def _bwd1_proj_kernel(gc_ref, nm_ref, emb_ref, wme_ref, bme_ref,
         emb_t, d_msg_c, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=f32)                              # (D, HD)
     dbme_ref[...] += jnp.sum(d_msg, axis=1, keepdims=True)       # (HD, 1)
-    dnm_ref[0] += _scatter_ft(oh_s, d_msg_c)
     dalpha_ht = _h_from_hd(sel, msg * g_dst)                     # (H, T)
     dalpha_ref[0] = dalpha_ht
     # cdt contraction with f32 accumulate — the transpose of the onehot
-    # backend's cdt scale-gather einsum rounds identically
-    dscale_ref[0] += jax.lax.dot_general(
-        oh_s, (dalpha_ht * ee).astype(cdt),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=f32)
+    # backend's cdt scale-gather einsum rounds identically. The dscale
+    # columns ride the same scatter as d_msg.
+    dnmsc_ref[0] += _scatter_ft(
+        oh_s, jnp.concatenate([d_msg_c, (dalpha_ht * ee).astype(cdt)],
+                              axis=0))
 
 
-def _bwd2_proj_kernel(nq_ref, nk_ref, emb_ref, wke_ref, bke_ref,
-                      scores_ref, gmax_ref, dalpha_ref, scale_ref,
-                      ddenom_ref, src_ref, dst_ref, mask_ref, dembm_ref,
-                      demb_ref, dnq_ref, dnk_ref, dwke_ref, dbke_ref,
-                      *, n_nodes, hd, heads):
+def _bwd2_proj_kernel(nqsd_ref, nk_ref, emb_ref, wke_ref, bke_ref,
+                      scores_ref, gmax_ref, dalpha_ref,
+                      src_ref, dst_ref, mask_ref, dembm_ref, *refs,
+                      n_nodes, hd, heads, self_init=False):
     """Pass 2 with in-kernel key projection: d_s -> (d_edge_emb part,
     dW_ke/db_ke grid-accumulated, dnq/dnk scatters).
+
+    nqsd_ref packs [nq ‖ scale ‖ d_denom]: one oh_s gather replaces the
+    query gather plus two (N, H) per-head gathers.
 
     dembm_ref carries pass 1's d_edge_emb tile and is ALIASED with the
     demb output (input_output_aliases in _proj_bwd_impl): the layer's total
     edge-embedding cotangent demb_m + demb_k is accumulated in-place here
-    instead of as an XLA add of two (G, E, D) HBM arrays."""
+    instead of as an XLA add of two (G, E, D) HBM arrays.
+
+    self_init: two extra inputs (dnq_self, dnk_self) seed the scatter
+    accumulators at t == 0, so the returned dnq/dnk are complete and the
+    XLA adds disappear (single-chip path only)."""
+    refs = list(refs)
+    dnq_self_ref = refs.pop(0) if self_init else None
+    dnk_self_ref = refs.pop(0) if self_init else None
+    (demb_ref, dnq_ref, dnk_ref, dwke_ref, dbke_ref) = refs
     f32 = jnp.float32
-    cdt = nq_ref.dtype
+    cdt = nqsd_ref.dtype
     sel = _selector(hd, heads, f32)
+    s = _plane_stride(heads)
     g_id = pl.program_id(0)
     t = pl.program_id(1)
 
     @pl.when(t == 0)
     def _():
-        dnq_ref[0] = jnp.zeros_like(dnq_ref[0])
-        dnk_ref[0] = jnp.zeros_like(dnk_ref[0])
+        if self_init:
+            dnq_ref[0] = dnq_self_ref[0]
+            dnk_ref[0] = dnk_self_ref[0]
+        else:
+            dnq_ref[0] = jnp.zeros_like(dnq_ref[0])
+            dnk_ref[0] = jnp.zeros_like(dnk_ref[0])
 
     @pl.when((g_id == 0) & (t == 0))
     def _():
@@ -789,11 +888,13 @@ def _bwd2_proj_kernel(nq_ref, nk_ref, emb_ref, wke_ref, bke_ref,
 
     oh_s, oh_d = _tile_onehots(src_ref, dst_ref, None, n_nodes, cdt)
     emb_t = emb_ref[0]
-    q_src = _gather_ft(oh_s, nq_ref[0])                          # (HD, T)
+    g_all = _gather_ft(oh_s, nqsd_ref[0])                        # (HD+2s, T)
+    q_src = g_all[:hd]                                           # (HD, T)
+    scale_src = g_all[hd:hd + heads]                             # (H, T)
+    dden_src = g_all[hd + s:hd + s + heads]                      # (H, T)
     ekb_t = _proj_ft(wke_ref, emb_t, cdt) + bke_ref[...].astype(f32)
     key = _gather_ft(oh_d, nk_ref[0]) + ekb_t                    # (HD, T)
-    d_s_ht = (dalpha_ref[0] * _gather_ht(oh_s, scale_ref[0], cdt)
-              + _gather_ht(oh_s, ddenom_ref[0], cdt)) \
+    d_s_ht = (dalpha_ref[0] * scale_src + dden_src) \
         * _edge_exp(scores_ref, gmax_ref, mask_ref)              # (H, T)
     ds_hd = _hd_from_h(sel, d_s_ht, cdt)                         # (HD, T)
     dekb = ds_hd * q_src                                         # (HD, T) f32
@@ -817,9 +918,19 @@ def _proj_specs(G, N, HD, D, tile_e, heads):
     AND the edge-sharded shard_map wrappers in
     qagnn_tpu.parallel.edge_shard_pallas)."""
     V = pltpu.VMEM
+    s = _plane_stride(heads)
     return {
         "node": pl.BlockSpec((1, N, HD), lambda g, t: (g, 0, 0),
                              memory_space=V),
+        # packed node blocks: base + 1 or 2 (N, H)->8-row-group planes
+        # (_pack_node_planes), and the dnm-scatter output merged with the
+        # per-source dscale columns
+        "node1p": pl.BlockSpec((1, N, HD + s), lambda g, t: (g, 0, 0),
+                               memory_space=V),
+        "node2p": pl.BlockSpec((1, N, HD + 2 * s), lambda g, t: (g, 0, 0),
+                               memory_space=V),
+        "nodesc": pl.BlockSpec((1, N, HD + heads), lambda g, t: (g, 0, 0),
+                               memory_space=V),
         "emb": pl.BlockSpec((1, D, tile_e), lambda g, t: (g, 0, t),
                             memory_space=V),
         "idx": pl.BlockSpec((1, 1, tile_e), lambda g, t: (g, 0, t),
@@ -839,12 +950,12 @@ def _proj_specs(G, N, HD, D, tile_e, heads):
     }
 
 
-def _proj_dims(nq, edge_emb, src):
+def _proj_dims(nq, edge_emb, src, bwd: bool = False):
     G, N, HD = nq.shape
     E = src.shape[1]
     D = edge_emb.shape[1]          # edge_emb rides transposed: (G, D, E)
     assert edge_emb.shape == (G, D, E), edge_emb.shape
-    tile_e = _tile_for(E, nq.dtype)
+    tile_e = _tile_for(E, nq.dtype, bwd=bwd)
     assert E % tile_e == 0, (E, tile_e)
     return G, N, HD, E, D, tile_e
 
@@ -872,20 +983,34 @@ def _proj_pass_a(nq, nk, edge_emb, w_ke, b_ke, src, dst, mask, heads,
 
 
 def _proj_pass_c(nm, edge_emb, w_me, b_me, scores, gmax, scale,
-                 src, dst, mask, heads, interpret):
-    """Weighted aggregation partials over (this shard's) edges."""
+                 src, dst, mask, heads, interpret, self_loop=None,
+                 packed=None):
+    """Weighted aggregation partials over (this shard's) edges.
+
+    self_loop=(smb, self_alpha): seed the accumulator with the dense
+    self-loop term in-kernel (see _aggr_proj_kernel).
+    packed: a prebuilt _pack_node_planes(nm, scale) to reuse."""
     G, N, HD, E, D, tile_e = _proj_dims(nm, edge_emb, src)
     sp = _proj_specs(G, N, HD, D, tile_e, heads)
+    nms = _pack_node_planes(nm, scale) if packed is None else packed
+    inputs = [nms, edge_emb, w_me, b_me.reshape(HD, 1), scores,
+              gmax[:, :, None], src[:, None, :], dst[:, None, :],
+              mask[:, None, :]]
+    in_specs = [sp["node1p"], sp["emb"], sp["w"], sp["b"], sp["he"],
+                sp["h1"], sp["idx"], sp["idx"], sp["idx"]]
+    if self_loop is not None:
+        smb, self_alpha = self_loop
+        inputs += [smb, self_alpha.astype(jnp.float32)]
+        in_specs += [sp["node"], sp["nh"]]
     return pl.pallas_call(
-        functools.partial(_aggr_proj_kernel, n_nodes=N, hd=HD, heads=heads),
+        functools.partial(_aggr_proj_kernel, n_nodes=N, hd=HD, heads=heads,
+                          self_init=self_loop is not None),
         grid=(G, E // tile_e),
-        in_specs=[sp["node"], sp["emb"], sp["w"], sp["b"], sp["he"],
-                  sp["h1"], sp["nh"], sp["idx"], sp["idx"], sp["idx"]],
+        in_specs=in_specs,
         out_specs=sp["node"],
         out_shape=jax.ShapeDtypeStruct((G, N, HD), jnp.float32),
         interpret=interpret,
-    )(nm, edge_emb, w_me, b_me.reshape(HD, 1), scores, gmax[:, :, None],
-      scale, src[:, None, :], dst[:, None, :], mask[:, None, :])
+    )(*inputs)
 
 
 def _proj_fwd_impl(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
@@ -911,22 +1036,31 @@ def _proj_fwd_impl(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
     denom_raw = denom_edges + e_self
     scale = (deg + 1.0) / jnp.maximum(denom_raw, _DENOM_EPS)
 
-    out_edges = _proj_pass_c(nm, edge_emb, w_me, b_me, scores, gmax, scale,
-                             src, dst, mask, heads, interpret)
-
-    self_alpha = e_self * scale
-    sm_full = (nm + smb).astype(f32)
-    out = out_edges + sm_full * _heads_to_hd_xla(self_alpha, HD)
-    return out, scores, gmax, denom_raw, scale, e_self
+    # the dense self-loop contribution seeds the aggregation accumulator
+    # inside the kernel — no XLA pass over (G, N, HD) f32 arrays. The
+    # packed [nm ‖ scale] array is returned so the backward reuses it
+    # instead of re-concatenating (a per-layer (G, N, HD+8) copy).
+    nms = _pack_node_planes(nm, scale)
+    out = _proj_pass_c(nm, edge_emb, w_me, b_me, scores, gmax, scale,
+                       src, dst, mask, heads, interpret,
+                       self_loop=(smb, e_self * scale), packed=nms)
+    return out, scores, gmax, denom_raw, scale, e_self, nms
 
 
 def _proj_bwd_pass1(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
                     src, dst, mask, scores, gmax, scale, e_self, g,
-                    heads, interpret, carry=None):
+                    heads, interpret, carry=None, fold_self=False,
+                    packed=None):
     """Self-loop cotangent prologue (dense XLA) + backward pass 1 over
     (this shard's) edges. Returns ((d_alpha_self, d_msg_self, dsmb),
-    (demb_m, dalpha, dscale_edges, dnm_edges, dw_me, db_me2))."""
-    G, N, HD, E, D, tile_e = _proj_dims(nq, edge_emb, src)
+    (demb_m, dalpha, dscale_edges, dnm_edges, dw_me, db_me2)).
+
+    fold_self: seed the merged dnm/dscale accumulator with the dense
+    self-loop cotangents in-kernel — the returned dnm_edges/dscale_edges
+    are then COMPLETE (single-chip path; the sharded path keeps the self
+    terms outside so they join once after the psum).
+    packed: the forward's _pack_node_planes(nm, scale) array to reuse."""
+    G, N, HD, E, D, tile_e = _proj_dims(nq, edge_emb, src, bwd=True)
     sp = _proj_specs(G, N, HD, D, tile_e, heads)
     f32 = jnp.float32
     cdt = nq.dtype
@@ -941,33 +1075,37 @@ def _proj_bwd_pass1(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
     # carry: downstream layers' accumulated d_edge_emb (chained backward).
     # It enters pass 1 aliased with the demb output, so the cross-layer sum
     # is folded into the write this kernel already does.
-    b1_inputs = [g.astype(cdt), nm, edge_emb, w_me, b_me.reshape(HD, 1),
-                 scores, gmax[:, :, None], scale,
+    nms = _pack_node_planes(nm, scale) if packed is None else packed
+    b1_inputs = [g.astype(cdt), nms, edge_emb, w_me, b_me.reshape(HD, 1),
+                 scores, gmax[:, :, None],
                  src[:, None, :], dst[:, None, :], mask[:, None, :]]
-    b1_specs = [sp["node"], sp["node"], sp["emb"], sp["w"], sp["b"],
-                sp["he"], sp["h1"], sp["nh"], sp["idx"], sp["idx"],
-                sp["idx"]]
+    b1_specs = [sp["node"], sp["node1p"], sp["emb"], sp["w"], sp["b"],
+                sp["he"], sp["h1"], sp["idx"], sp["idx"], sp["idx"]]
     b1_aliases = {}
     if carry is not None:
         b1_inputs.append(carry.astype(edge_emb.dtype))
         b1_specs.append(sp["emb"])
-        b1_aliases = {11: 0}
-    b1 = pl.pallas_call(
+        b1_aliases = {10: 0}
+    if fold_self:
+        b1_inputs.append(jnp.concatenate(
+            [d_msg_self, d_alpha_self * e_self], axis=-1))
+        b1_specs.append(sp["nodesc"])
+    demb_m, dalpha, dnmsc, dw_me, db_me2 = pl.pallas_call(
         functools.partial(_bwd1_proj_kernel, n_nodes=N, hd=HD, heads=heads,
-                          has_carry=carry is not None),
+                          has_carry=carry is not None, self_init=fold_self),
         grid=(G, E // tile_e),
         in_specs=b1_specs,
-        out_specs=(sp["emb"], sp["he"], sp["nh"], sp["node"], sp["w"],
-                   sp["b"]),
+        out_specs=(sp["emb"], sp["he"], sp["nodesc"], sp["w"], sp["b"]),
         out_shape=(jax.ShapeDtypeStruct((G, D, E), edge_emb.dtype),
                    jax.ShapeDtypeStruct((G, heads, E), f32),
-                   jax.ShapeDtypeStruct((G, N, heads), f32),
-                   jax.ShapeDtypeStruct((G, N, HD), f32),
+                   jax.ShapeDtypeStruct((G, N, HD + heads), f32),
                    jax.ShapeDtypeStruct((D, HD), f32),
                    jax.ShapeDtypeStruct((HD, 1), f32)),
         input_output_aliases=b1_aliases,
         interpret=interpret,
     )(*b1_inputs)
+    # split the merged scatter: dnm cotangent columns + per-source dscale
+    b1 = (demb_m, dalpha, dnmsc[..., HD:], dnmsc[..., :HD], dw_me, db_me2)
     return (d_alpha_self, d_msg_self, dsmb), b1
 
 
@@ -993,53 +1131,66 @@ def _proj_bwd_glue(nq, nk, skb, denom_raw, scale, e_self, d_alpha_self,
 
 def _proj_bwd_pass2(nq, nk, edge_emb, w_ke, b_ke, scores, gmax, dalpha,
                     scale, d_denom, src, dst, mask, demb_m, heads,
-                    interpret):
+                    interpret, self_terms=None):
     """Backward pass 2 over (this shard's) edges; demb_m rides in ALIASED
     with the demb output, so the layer's total edge cotangent costs one
-    HBM array instead of two plus an XLA add."""
-    G, N, HD, E, D, tile_e = _proj_dims(nq, edge_emb, src)
+    HBM array instead of two plus an XLA add.
+
+    self_terms=(dnq_self, dnk_self): seed the scatter accumulators with
+    the dense self-loop cotangents in-kernel (see _bwd2_proj_kernel)."""
+    G, N, HD, E, D, tile_e = _proj_dims(nq, edge_emb, src, bwd=True)
     sp = _proj_specs(G, N, HD, D, tile_e, heads)
     f32 = jnp.float32
+    nqsd = _pack_node_planes(nq, scale, d_denom)
+    inputs = [nqsd, nk, edge_emb, w_ke, b_ke.reshape(HD, 1), scores,
+              gmax[:, :, None], dalpha,
+              src[:, None, :], dst[:, None, :], mask[:, None, :], demb_m]
+    in_specs = [sp["node2p"], sp["node"], sp["emb"], sp["w"], sp["b"],
+                sp["he"], sp["h1"], sp["he"],
+                sp["idx"], sp["idx"], sp["idx"], sp["emb"]]
+    if self_terms is not None:
+        inputs += [self_terms[0], self_terms[1]]
+        in_specs += [sp["node"], sp["node"]]
     return pl.pallas_call(
-        functools.partial(_bwd2_proj_kernel, n_nodes=N, hd=HD, heads=heads),
+        functools.partial(_bwd2_proj_kernel, n_nodes=N, hd=HD, heads=heads,
+                          self_init=self_terms is not None),
         grid=(G, E // tile_e),
-        in_specs=[sp["node"], sp["node"], sp["emb"], sp["w"], sp["b"],
-                  sp["he"], sp["h1"], sp["he"], sp["nh"], sp["nh"],
-                  sp["idx"], sp["idx"], sp["idx"], sp["emb"]],
+        in_specs=in_specs,
         out_specs=(sp["emb"], sp["node"], sp["node"], sp["w"], sp["b"]),
         out_shape=(jax.ShapeDtypeStruct((G, D, E), edge_emb.dtype),
                    jax.ShapeDtypeStruct((G, N, HD), f32),
                    jax.ShapeDtypeStruct((G, N, HD), f32),
                    jax.ShapeDtypeStruct((D, HD), f32),
                    jax.ShapeDtypeStruct((HD, 1), f32)),
-        input_output_aliases={13: 0},
+        input_output_aliases={11: 0},
         interpret=interpret,
-    )(nq, nk, edge_emb, w_ke, b_ke.reshape(HD, 1), scores,
-      gmax[:, :, None], dalpha, scale, d_denom,
-      src[:, None, :], dst[:, None, :], mask[:, None, :], demb_m)
+    )(*inputs)
 
 
 def _proj_bwd_impl(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
                    src, dst, mask, scores, gmax, denom_raw, scale, e_self, g,
-                   heads, interpret, carry=None):
+                   heads, interpret, carry=None, nms=None):
+    # fold_self: pass 1's merged scatter is seeded with the self-loop
+    # cotangents, so dnm/dscale come back complete; nms reuses the
+    # forward's packed [nm | scale] residual
     (d_alpha_self, d_msg_self, dsmb), b1 = _proj_bwd_pass1(
         nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
         src, dst, mask, scores, gmax, scale, e_self, g, heads, interpret,
-        carry=carry)
-    demb_m, dalpha, dscale_edges, dnm_edges, dw_me, db_me2 = b1
+        carry=carry, fold_self=True, packed=nms)
+    demb_m, dalpha, dscale, dnm_full, dw_me, db_me2 = b1
 
     HD = nq.shape[2]
-    dscale = dscale_edges + d_alpha_self * e_self
     d_denom, dskb, dnq_self, dnk_self = _proj_bwd_glue(
         nq, nk, skb, denom_raw, scale, e_self, d_alpha_self, dscale, HD)
 
-    d_edge_emb, dnq_edges, dnk_edges, dw_ke, db_ke2 = _proj_bwd_pass2(
+    d_edge_emb, dnq_full, dnk_full, dw_ke, db_ke2 = _proj_bwd_pass2(
         nq, nk, edge_emb, w_ke, b_ke, scores, gmax, dalpha, scale, d_denom,
-        src, dst, mask, demb_m, heads, interpret)
+        src, dst, mask, demb_m, heads, interpret,
+        self_terms=(dnq_self, dnk_self))
 
-    dnq = (dnq_edges + dnq_self).astype(nq.dtype)
-    dnk = (dnk_edges + dnk_self).astype(nk.dtype)
-    dnm = (dnm_edges + d_msg_self).astype(nm.dtype)
+    dnq = dnq_full.astype(nq.dtype)
+    dnk = dnk_full.astype(nk.dtype)
+    dnm = dnm_full.astype(nm.dtype)
     return (dnq, dnk, dnm, d_edge_emb,
             dw_ke.astype(w_ke.dtype), db_ke2.reshape(-1).astype(b_ke.dtype),
             dw_me.astype(w_me.dtype), db_me2.reshape(-1).astype(b_me.dtype),
@@ -1067,20 +1218,22 @@ def pallas_relational_gat_projected(nq, nk, nm, edge_emb, w_ke, b_ke,
 
 def _proj_vjp_fwd(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
                   src, dst, mask, heads, interpret):
-    out, scores, gmax, denom_raw, scale, e_self = _proj_fwd_impl(
+    out, scores, gmax, denom_raw, scale, e_self, nms = _proj_fwd_impl(
         nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
         src, dst, mask, heads, interpret)
     return out, (nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
-                 src, dst, mask, scores, gmax, denom_raw, scale, e_self)
+                 src, dst, mask, scores, gmax, denom_raw, scale, e_self,
+                 nms)
 
 
 def _proj_vjp_bwd(heads, interpret, residuals, g):
     (nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
-     src, dst, mask, scores, gmax, denom_raw, scale, e_self) = residuals
+     src, dst, mask, scores, gmax, denom_raw, scale, e_self,
+     nms) = residuals
     grads = _proj_bwd_impl(
         nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
         src, dst, mask, scores, gmax, denom_raw, scale, e_self,
-        g.astype(jnp.float32), heads, interpret)
+        g.astype(jnp.float32), heads, interpret, nms=nms)
     zero_i = lambda x: np.zeros(x.shape, jax.dtypes.float0)
     return grads + (zero_i(src), zero_i(dst), jnp.zeros_like(mask))
 
@@ -1114,22 +1267,23 @@ def pallas_relational_gat_projected_chained(nq, nk, nm, edge_emb, w_ke, b_ke,
 
 def _proj_chain_vjp_fwd(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me,
                         skb, smb, src, dst, mask, heads, interpret):
-    out, scores, gmax, denom_raw, scale, e_self = _proj_fwd_impl(
+    out, scores, gmax, denom_raw, scale, e_self, nms = _proj_fwd_impl(
         nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
         src, dst, mask, heads, interpret)
     res = (nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
-           src, dst, mask, scores, gmax, denom_raw, scale, e_self)
+           src, dst, mask, scores, gmax, denom_raw, scale, e_self, nms)
     return (out, edge_emb), res
 
 
 def _proj_chain_vjp_bwd(heads, interpret, residuals, g):
     (nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
-     src, dst, mask, scores, gmax, denom_raw, scale, e_self) = residuals
+     src, dst, mask, scores, gmax, denom_raw, scale, e_self,
+     nms) = residuals
     g_out, g_emb = g
     grads = _proj_bwd_impl(
         nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
         src, dst, mask, scores, gmax, denom_raw, scale, e_self,
-        g_out.astype(jnp.float32), heads, interpret, carry=g_emb)
+        g_out.astype(jnp.float32), heads, interpret, carry=g_emb, nms=nms)
     zero_i = lambda x: np.zeros(x.shape, jax.dtypes.float0)
     return grads + (zero_i(src), zero_i(dst), jnp.zeros_like(mask))
 

@@ -56,10 +56,14 @@ class TrainConfig:
     mode: str = "train"                  # train | eval_detail
     save_dir: str = "./saved_models/qagnn/"
     save_model: bool = False
-    # PRNG implementation for dropout masks. "rbg" (TPU hardware RNG)
-    # measured +3% GNN-step throughput over threefry BUT made full driver
-    # step timings unstable across runs on the tunneled v5e — default off.
-    prng_impl: str = "default"
+    # PRNG implementation for dropout masks. "auto" = rbg (hardware RNG)
+    # on TPU — measured +2.5% step throughput over threefry, stable. The
+    # round-4 "rbg instability" was root-caused to MEASUREMENT corruption
+    # from remote-compile-service activity overlapping timed runs, not to
+    # rbg (see README "PRNG"); warm-cache rbg runs are as stable as
+    # threefry. "default" forces threefry everywhere (bit-reproducible
+    # against CPU runs).
+    prng_impl: str = "auto"
     # eval_detail: how many test batches get the full analysis npz dump
     # (pooler attention, per-layer alphas, graph tensors). Its own flag —
     # the reference's detail mode is unconditional (reference

@@ -13,7 +13,11 @@ from __future__ import annotations
 
 # 32 MiB: 2x the default, ~1/4 of the chip's physical VMEM — roomy for the
 # grid-tiled kernels, leaves plenty for XLA's own fusion buffers.
-SCOPED_VMEM_KIB = 32768
+# QAGNN_SCOPED_VMEM_KIB overrides for tile experiments (e.g. 49152 for
+# QAGNN_TILE_E=4096).
+import os as _os
+
+SCOPED_VMEM_KIB = int(_os.environ.get("QAGNN_SCOPED_VMEM_KIB", "32768"))
 
 
 def lowering_platform() -> str:
