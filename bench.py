@@ -80,6 +80,17 @@ def parse_args(argv=None):
                          "corruption from compile-service activity, not "
                          "rbg (see README). default = threefry everywhere")
     ap.add_argument("--mode", default="gnn", choices=["gnn", "driver"])
+    ap.add_argument("--encoder", default="tiny",
+                    choices=["tiny", "roberta-base", "roberta-large"],
+                    help="driver-mode LM encoder shapes. tiny (default) "
+                    "isolates GNN throughput; roberta-base/-large measure "
+                    "the step with a REAL encoder share (random weights, "
+                    "L=100 — the reference's CSQA training shape)")
+    ap.add_argument("--frozen_encoder", action="store_true",
+                    help="driver mode: bench the FROZEN-encoder train step "
+                    "(the reference's first unfreeze_epoch epochs) — the "
+                    "static freeze drops the encoder backward at compile "
+                    "time")
     ap.add_argument("--no_driver", action="store_true",
                     help="skip the extra driver-mode measurement the "
                          "default gnn run appends to the JSON")
@@ -138,9 +149,11 @@ def replicate(tree, mesh):
 
 
 def _gnn_mesh_for(mesh, backend):
-    """The mesh to hand the MODEL: non-None only when a model axis > 1
-    must edge-partition the fused Pallas kernels via shard_map."""
-    if mesh is None or mesh.shape.get("model", 1) <= 1:
+    """The mesh to hand the MODEL: with the pallas backend EVERY mesh
+    routes the fused kernels through shard_map (GSPMD cannot partition a
+    Mosaic call — a plain data-parallel jit would all-gather the full
+    batch to every device; measured in tools/collective_audit.py)."""
+    if mesh is None:
         return None
     from qagnn_tpu.ops.gat_attention import default_backend
     return mesh if (backend or default_backend()) == "pallas" else None
@@ -282,13 +295,22 @@ def run_driver(args, mesh):
     G, N, E, D, K = shapes(args)
     C = 4
     B = G // C
-    L = 16                      # tiny LM so the GNN dominates the step
     N_NTYPE, N_ETYPE = 4, 38
     N_CONCEPT, CIN = 512, 64    # small entity table: bench measures compute,
                                 # not the 799k-row table gather
 
-    enc_cfg = TextEncoderConfig.tiny(hidden_size=64, num_layers=1,
-                                     max_position_embeddings=L + 8)
+    enc_name = getattr(args, "encoder", "tiny")
+    if enc_name == "tiny":
+        L = 16                  # tiny LM so the GNN dominates the step
+        enc_cfg = TextEncoderConfig.tiny(hidden_size=64, num_layers=1,
+                                         max_position_embeddings=L + 8)
+    else:
+        # the reference's real training shape: seq len 100
+        # (reference utils/parser_utils.py:58, run_qagnn__csqa.sh)
+        L = 100 if not args.small else 24
+        enc_cfg = (TextEncoderConfig.roberta_base()
+                   if enc_name == "roberta-base"
+                   else TextEncoderConfig.roberta_large())
     encoder = TextEncoder(enc_cfg)
     model = LMQAGNN(
         encoder=encoder, sent_dim=enc_cfg.hidden_size, k=K, n_ntype=N_NTYPE,
@@ -330,20 +352,49 @@ def run_driver(args, mesh):
         return init_train_state(model, optimizer, key, batch)
 
     state0 = build_state()
-    train_step = make_train_step(model, optimizer)
 
     batch_p = place(batch, mesh)
     state_p = replicate(state0, mesh)
-    trainable = jnp.ones([], bool)
 
-    def run(n):
-        s = state_p
-        metrics = None
-        t0 = time.perf_counter()
-        for _ in range(n):
-            s, metrics = train_step(s, batch_p, trainable)
-        _ = float(metrics["loss"])
-        return time.perf_counter() - t0
+    if getattr(args, "eval", False) or getattr(args, "infer", False):
+        # the REAL driver eval/serving path: make_eval_step's program
+        # (BN running stats, no dropout, no backward) — the step the
+        # driver runs per dev/test batch (reference evaluate_accuracy,
+        # qagnn.py:30-38). Chained through node_scores inside ONE jit so
+        # iterations stay distinct without per-iteration host dispatch.
+        from qagnn_tpu.utils.tpu import tpu_compiler_options
+
+        @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
+        def eval_chain(params, batch_stats, lm_inputs, graph):
+            logits = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                lm_inputs, graph)
+            graph = graph.replace(
+                node_scores=graph.node_scores + 1e-6 * jnp.mean(logits))
+            return graph, logits
+
+        def run(n):
+            s = state_p
+            g = batch_p.graph
+            logits = None
+            t0 = time.perf_counter()
+            for _ in range(n):
+                g, logits = eval_chain(s.params, s.batch_stats,
+                                       batch_p.lm_inputs, g)
+            _ = float(jnp.sum(logits))
+            return time.perf_counter() - t0
+    else:
+        train_step = make_train_step(model, optimizer)
+        trainable = not getattr(args, "frozen_encoder", False)
+
+        def run(n):
+            s = state_p
+            metrics = None
+            t0 = time.perf_counter()
+            for _ in range(n):
+                s, metrics = train_step(s, batch_p, trainable)
+            _ = float(metrics["loss"])
+            return time.perf_counter() - t0
 
     t0 = time.perf_counter()
     run(2)
@@ -353,10 +404,6 @@ def run_driver(args, mesh):
 
 def main():
     args = parse_args()
-    if (args.eval or args.infer) and args.mode == "driver":
-        raise SystemExit(
-            "--eval/--infer are not implemented for --mode driver "
-            "(run_driver benches the train step); drop a flag")
 
     import glob
     import jax
@@ -402,6 +449,12 @@ def main():
                 value / (d * extras["mesh1_edges_per_s"]), 3)
     if args.mode != "gnn":
         extras["mode"] = args.mode
+        if args.encoder != "tiny":
+            extras["encoder"] = args.encoder
+        if args.frozen_encoder:
+            extras["frozen_encoder"] = True
+        if args.eval or args.infer:
+            extras["eval_step"] = True
     if args.backend:
         extras["backend"] = args.backend
 

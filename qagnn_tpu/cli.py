@@ -235,13 +235,15 @@ def train(cfg: TrainConfig) -> dict:
     if n_data * n_model > 1:
         from qagnn_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(n_data, n_model)
-        if n_model > 1:
-            from qagnn_tpu.ops.gat_attention import default_backend
-            if (cfg.gnn_backend or default_backend()) == "pallas":
-                gnn_mesh = mesh
-                print(f"| mesh_model={n_model}: fused Pallas kernels run "
-                      "edge-partitioned (shard_map, 5 collectives) |",
-                      flush=True)
+        from qagnn_tpu.ops.gat_attention import default_backend
+        if (cfg.gnn_backend or default_backend()) == "pallas":
+            # ANY mesh: the fused kernels run via shard_map (graphs over
+            # data, edges over model) — GSPMD cannot partition Mosaic
+            # calls and would otherwise gather the full batch per device
+            # (see tools/collective_audit.py)
+            gnn_mesh = mesh
+            print(f"| mesh {n_data}x{n_model}: fused Pallas kernels run "
+                  "via shard_map (data x edge partitioning) |", flush=True)
 
     dataset, model, cp_emb, pretrained_encoder = build_model_and_data(
         cfg, gnn_mesh=gnn_mesh)
@@ -368,8 +370,10 @@ def train(cfg: TrainConfig) -> dict:
                 profiling = True
             interval_edges += int(np.asarray(batch.graph.edge_mask).sum()) \
                 * cfg.k
+            # static bool: the frozen variant's compile drops the encoder
+            # backward entirely (two cached compiles at most)
             state, metrics = train_step(state, _place(batch),
-                                        jnp.asarray(encoder_trainable))
+                                        encoder_trainable)
             total_loss += float(metrics["loss"])
             loss_history.append(float(metrics["loss"]))
             if profiling and global_step >= (cfg.profile_start_step

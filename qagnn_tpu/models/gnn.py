@@ -79,7 +79,8 @@ class EdgeEncoder(nn.Module):
     @nn.compact
     def __call__(self, edge_feat, weight=None, *, train: bool,
                  return_hidden: bool = False, edge_ints: tuple | None = None,
-                 n_rel: int | None = None, n_ntype: int | None = None):
+                 n_rel: int | None = None, n_ntype: int | None = None,
+                 edge_rows_3d: tuple | None = None):
         """edge_feat: (rows, F) with stat weight, OR a list of
         (rows_i, F)/weight_i parts sharing ONE BatchNorm statistic — the
         edge rows and self-loop rows are one population in the reference
@@ -103,6 +104,15 @@ class EdgeEncoder(nn.Module):
         in (W0, b0) given the masked feature histogram/second moment, so
         the BN-train gradient paths stay ordinary JAX autodiff. Implies
         return_hidden. Returns ((h_edge_t, h_self_rows), (W1, b1))."""
+        # edge_rows_3d = (edge_feat3d (G, E, F), edge_mask (G, E)):
+        # sharding-friendly XLA form of the edge side — used under a device
+        # mesh, where flattening to (G*E, F) rows would make GSPMD give up
+        # on the edge sharding and all-gather the whole array (measured: a
+        # 210 MB gather per step in tools/collective_audit.py). The BN
+        # statistic is contributed as a MomentPart from 3D masked
+        # reductions (clean psums) and the folded affine is applied in 3D.
+        # Implies return_hidden; edge_feat is then only the self-loop
+        # rows. Returns ((h_edge3d, h_self_rows), (W1, b1)).
         lin0_params = None
         if edge_ints is not None:
             lin0_params = _ProjParams(n_rel + 2 * n_ntype, self.hidden_size,
@@ -149,6 +159,33 @@ class EdgeEncoder(nn.Module):
             h_edge_t = edge_hidden(etype, esrc, edst, ntype, w0, b0, a, b,
                                    n_rel, n_ntype, cdt, interp)
             return (h_edge_t, h_self), (k1, b1)
+
+        if edge_rows_3d is not None:
+            assert return_hidden
+            from qagnn_tpu.models.norm import MomentPart
+
+            feat3d, emask = edge_rows_3d
+            f32 = jnp.float32
+            x0_edge = lin0(feat3d.astype(cdt))                # (G, E, D)
+            x0_self = lin0(edge_feat.astype(cdt))             # (G*N, D)
+            if train:
+                w = emask.astype(f32)
+                x0f = x0_edge.astype(f32)
+                s1 = jnp.einsum("gef,ge->f", x0f, w)
+                s2 = jnp.einsum("gef,ge->f", jnp.square(x0f), w)
+                n_e = jnp.sum(w)
+                res, (a, b) = bn([MomentPart(s1, s2, n_e),
+                                  (x0_self, None)],
+                                 use_running_average=False,
+                                 return_affine=True)
+                h_self = jax.nn.relu(res[1])
+            else:
+                res, (a, b) = bn([(x0_self, None)],
+                                 use_running_average=True,
+                                 return_affine=True)
+                h_self = jax.nn.relu(res[0])
+            h_edge = jax.nn.relu(x0_edge * a.astype(cdt) + b.astype(cdt))
+            return (h_edge, h_self), (k1, b1)
 
         multi = isinstance(edge_feat, (tuple, list))
         parts = list(edge_feat) if multi else [(edge_feat, weight)]
@@ -230,11 +267,18 @@ class GATConvE(nn.Module):
             or (backend == "pallas" and not return_alpha), \
             "edge-emb chaining/composition only exists on the fused " \
             "pallas path"
-        n_shards = 1
-        if self.mesh is not None and backend == "pallas":
-            n_shards = self.mesh.shape.get(MODEL_AXIS, 1)
-        assert n_shards == 1 or (chain_in is None and not chain_out), \
-            "cross-layer edge-emb chaining is single-shard only (the " \
+        # ANY mesh routes the fused kernels through shard_map: GSPMD
+        # cannot partition a Mosaic custom call, so even a pure
+        # data-parallel mesh would otherwise ALL-GATHER the full batch to
+        # every device and run it replicated (measured by
+        # tools/collective_audit.py: 875 MB/step of gathers on a 2x1
+        # mesh). The shard_map form splits graphs over `data` and edges
+        # over `model`; with model == 1 its cross-shard collectives are
+        # no-ops.
+        sharded = self.mesh is not None and backend == "pallas"
+        n_shards = self.mesh.shape.get(MODEL_AXIS, 1) if sharded else 1
+        assert not sharded or (chain_in is None and not chain_out), \
+            "cross-layer edge-emb chaining is single-device only (the " \
             "sharded op has no passthrough variant)"
         if backend == "pallas" and not return_alpha:
             # Fused path: the key_e/msg_e projections run INSIDE the Pallas
@@ -292,13 +336,14 @@ class GATConvE(nn.Module):
                     wke, bke, wme, bme,
                     proj(self_emb, wke, bke), proj(self_emb, wme, bme),
                     src_p, dst_p, mask_p)
-            if n_shards > 1:
-                # production kernels on a (data, model) mesh: each model-
-                # axis device runs the fused passes on its E/n_shards edge
-                # slice; 5 collectives knit the shards (see
-                # parallel/edge_shard_pallas). This is what the driver runs
-                # when mesh_model > 1 — replaces the reference's only
-                # multi-device mode (reference qagnn.py:132-140).
+            if sharded:
+                # production kernels on a (data, model) mesh: graphs split
+                # over `data`, each model-axis device runs the fused
+                # passes on its E/n_shards edge slice; 5 collectives knit
+                # the edge shards (see parallel/edge_shard_pallas). This
+                # is what the driver runs on any mesh — replaces the
+                # reference's only multi-device mode (reference
+                # qagnn.py:132-140).
                 from qagnn_tpu.parallel.edge_shard_pallas import (
                     pallas_edge_sharded_projected)
                 aggr = pallas_edge_sharded_projected(
@@ -439,14 +484,14 @@ class QAGNNMessagePassing(nn.Module):
         # msg_e projections (emb_proj).
         use_fused = ((self.backend or default_backend()) == "pallas"
                      and not return_alpha)
-        n_shards = 1
-        if self.mesh is not None and use_fused:
-            n_shards = self.mesh.shape.get(MODEL_AXIS, 1)
+        # any mesh -> the GAT layers run via shard_map and the encoder
+        # takes its XLA form (see GATConvE / collective_audit rationale)
+        sharded = self.mesh is not None and use_fused
         enc = EdgeEncoder(hidden_size=D, num_updates=self.k,
                           init_std=self.init_std, dtype=self.dtype,
                           name="edge_encoder")
         emb_proj = None
-        if use_fused and n_shards == 1:
+        if use_fused and not sharded:
             (edge_emb, self_emb), emb_proj = enc(
                 self_feat.reshape(G * N, nfeat), train=train,
                 return_hidden=True,
@@ -456,14 +501,15 @@ class QAGNNMessagePassing(nn.Module):
             # edge_emb: (G, D, E_pad) transposed hidden states
             self_emb = self_emb.reshape(G, N, D)
         elif use_fused:
-            # Edge-partitioned path: the fused edge-encoder kernels are
-            # Mosaic calls GSPMD cannot partition, so the encoder runs its
-            # XLA form here (one-hot features + Dense linear_0 + masked BN
-            # — GSPMD auto-partitions the E-sharded elementwise ops and
-            # psums the BN moment reductions), while linear_1 still
-            # composes into the sharded GAT kernels' in-kernel projections
-            # via emb_proj. The GAT layers themselves run the production
-            # Pallas kernels per edge shard (parallel/edge_shard_pallas).
+            # Device-mesh path: the fused edge-encoder kernels are Mosaic
+            # calls GSPMD cannot partition, so the encoder runs its XLA
+            # 3D form (one-hot features + Dense linear_0 + MomentPart BN
+            # — everything stays (G, E, .)-shaped so GSPMD keeps the
+            # data/model sharding; flattening to rows made it all-gather
+            # the whole array), while linear_1 still composes into the
+            # sharded GAT kernels' in-kernel projections via emb_proj.
+            # The GAT layers run the production Pallas kernels per shard
+            # (parallel/edge_shard_pallas).
             e_rel = jax.nn.one_hot(edge_type, self.n_etype + 1, dtype=fdt)
             head_t = jnp.take_along_axis(node_type, edge_src, axis=1)
             tail_t = jnp.take_along_axis(node_type, edge_dst, axis=1)
@@ -471,13 +517,12 @@ class QAGNNMessagePassing(nn.Module):
             e_tail = jax.nn.one_hot(tail_t, self.n_ntype, dtype=fdt)
             edge_feat = jnp.concatenate([e_rel, e_head, e_tail], axis=-1)
             (edge_emb, self_emb), emb_proj = enc(
-                [(edge_feat.reshape(G * E, nfeat),
-                  edge_mask.reshape(-1).astype(H.dtype)),
-                 (self_feat.reshape(G * N, nfeat), None)], train=train,
-                return_hidden=True)
+                self_feat.reshape(G * N, nfeat), train=train,
+                return_hidden=True,
+                edge_rows_3d=(edge_feat, edge_mask))
             # pre-linear_1 hidden states, transposed to the kernels'
-            # (G, D, E) layout
-            edge_emb = jnp.swapaxes(edge_emb.reshape(G, E, D), 1, 2)
+            # (G, D, E) layout (a local dim permutation under GSPMD)
+            edge_emb = jnp.swapaxes(edge_emb, 1, 2)
             self_emb = self_emb.reshape(G, N, D)
         else:
             # One-hot features are exact in any float dtype — build them
@@ -508,7 +553,7 @@ class QAGNNMessagePassing(nn.Module):
         # pallas_relational_gat_projected_chained).
         chain = None
         for i in range(self.k):
-            chain_out = use_fused and n_shards == 1 and i < self.k - 1
+            chain_out = use_fused and not sharded and i < self.k - 1
             X = GATConvE(emb_dim=D, head_count=self.head_count,
                          init_std=self.init_std, backend=self.backend,
                          dtype=self.dtype, mesh=self.mesh,

@@ -95,11 +95,24 @@ def make_train_step(
     num_microbatches splits the leading batch axis for gradient accumulation;
     B must divide evenly (the host-side loader pads/fills partial batches,
     mirroring the reference's fill option, utils/data_utils.py:41-51).
+
+    encoder_trainable is a STATIC python bool: the frozen variant wraps
+    the encoder params in stop_gradient, so XLA dead-code-eliminates the
+    ENTIRE encoder backward — the reference's freeze_net
+    (requires_grad=False, reference qagnn.py:240 + utils/utils.py:33)
+    skips encoder autograd the same way, and a traced gate would instead
+    pay the full encoder backward every frozen epoch. Two compiled
+    variants exist at most (frozen/unfrozen), cached across epochs.
     """
     loss_fn = LOSSES[loss_name]
 
-    def microbatch_loss(params, batch_stats, mb: Batch, dropout_rng, scale):
+    def microbatch_loss(params, batch_stats, mb: Batch, dropout_rng, scale,
+                        encoder_trainable):
         def forward(p):
+            if not encoder_trainable and "encoder" in p:
+                p = dict(p)
+                p["encoder"] = jax.tree.map(jax.lax.stop_gradient,
+                                            p["encoder"])
             logits, new_vars = model.apply(
                 {"params": p, "batch_stats": batch_stats},
                 mb.lm_inputs, mb.graph,
@@ -115,42 +128,53 @@ def make_train_step(
         return jax.tree.map(
             lambda x: x.reshape((num_microbatches, -1) + x.shape[1:])[i], tree)
 
-    @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
-    def train_step(state: TrainState, batch: Batch, encoder_trainable: Array):
-        rng = jax.random.fold_in(state.rng, state.step)
+    @functools.lru_cache(maxsize=2)
+    def build(encoder_trainable: bool):
+        @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
+        def train_step(state: TrainState, batch: Batch):
+            rng = jax.random.fold_in(state.rng, state.step)
 
-        if num_microbatches == 1:
-            loss, grads, batch_stats = microbatch_loss(
-                state.params, state.batch_stats, batch, rng, 1.0)
-        else:
-            scale = 1.0 / num_microbatches
+            if num_microbatches == 1:
+                loss, grads, batch_stats = microbatch_loss(
+                    state.params, state.batch_stats, batch, rng, 1.0,
+                    encoder_trainable)
+            else:
+                scale = 1.0 / num_microbatches
 
-            def body(carry, i):
-                stats, grads_acc, loss_acc = carry
-                mb = Batch(lm_inputs=split_mb(batch.lm_inputs, i),
-                           graph=split_mb(batch.graph, i),
-                           labels=split_mb(batch.labels, i))
-                mb_rng = jax.random.fold_in(rng, i)
-                loss, grads, stats = microbatch_loss(
-                    state.params, stats, mb, mb_rng, scale)
-                grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
-                return (stats, grads_acc, loss_acc + loss), None
+                def body(carry, i):
+                    stats, grads_acc, loss_acc = carry
+                    mb = Batch(lm_inputs=split_mb(batch.lm_inputs, i),
+                               graph=split_mb(batch.graph, i),
+                               labels=split_mb(batch.labels, i))
+                    mb_rng = jax.random.fold_in(rng, i)
+                    loss, grads, stats = microbatch_loss(
+                        state.params, stats, mb, mb_rng, scale,
+                        encoder_trainable)
+                    grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+                    return (stats, grads_acc, loss_acc + loss), None
 
-            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
-            (batch_stats, grads, loss), _ = jax.lax.scan(
-                body, (state.batch_stats, zero_grads, 0.0),
-                jnp.arange(num_microbatches))
+                zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+                (batch_stats, grads, loss), _ = jax.lax.scan(
+                    body, (state.batch_stats, zero_grads, 0.0),
+                    jnp.arange(num_microbatches))
 
-        updates, opt_state = optimizer.update(
-            grads, state.opt_state, state.params, encoder_trainable)
-        params = jax.tree.map(jnp.add, state.params, updates)
+            updates, opt_state = optimizer.update(
+                grads, state.opt_state, state.params, encoder_trainable)
+            params = jax.tree.map(jnp.add, state.params, updates)
 
-        new_state = state.replace(
-            params=params, batch_stats=batch_stats, opt_state=opt_state,
-            step=state.step + 1)
-        metrics = {"loss": loss}
-        return new_state, metrics
+            new_state = state.replace(
+                params=params, batch_stats=batch_stats, opt_state=opt_state,
+                step=state.step + 1)
+            metrics = {"loss": loss}
+            return new_state, metrics
+        return train_step
 
+    def train_step(state: TrainState, batch: Batch, encoder_trainable=True):
+        return build(bool(encoder_trainable))(state, batch)
+
+    # the underlying jit per freeze variant — tools (collective audit)
+    # lower it to inspect the compiled HLO
+    train_step.jitted = build
     return train_step
 
 

@@ -153,3 +153,77 @@ def test_frozen_param_mask_zeroes_entity_table():
     updates, _ = opt.update(grads, state, params, True)
     assert float(jnp.abs(updates["decoder"]["emb"]).sum()) == 0.0
     assert float(jnp.abs(updates["decoder"]["w"]).sum()) > 0.0
+
+
+def test_static_freeze_through_train_step():
+    """make_train_step's encoder_trainable is a STATIC bool: the frozen
+    variant stop-gradients the encoder (its backward is dead code), yet
+    encoder params + optimizer state stay exactly put, the decoder still
+    learns, and flipping the flag mid-training behaves like the
+    reference's freeze/unfreeze schedule (reference qagnn.py:240-247)."""
+    import numpy as np
+
+    from qagnn_tpu.graph.container import BatchedGraphs
+    from qagnn_tpu.models.qagnn import LMQAGNN
+    from qagnn_tpu.models.text_encoder import TextEncoder, TextEncoderConfig
+    from qagnn_tpu.train import (
+        Batch, build_train_optimizer, init_train_state, make_train_step)
+
+    rng = np.random.default_rng(0)
+    B, C, L, N, E = 2, 2, 8, 6, 10
+    G = B * C
+    enc_cfg = TextEncoderConfig.tiny(hidden_size=16, num_layers=1,
+                                     max_position_embeddings=L + 4)
+    model = LMQAGNN(encoder=TextEncoder(enc_cfg),
+                    sent_dim=enc_cfg.hidden_size, k=1, n_ntype=4, n_etype=6,
+                    n_concept=32, concept_dim=8, concept_in_dim=12,
+                    n_attention_head=2, fc_dim=8, n_fc_layer=0,
+                    p_emb=0.0, p_gnn=0.0, p_fc=0.0)
+    batch = Batch(
+        lm_inputs={
+            "input_ids": jnp.asarray(
+                rng.integers(0, enc_cfg.vocab_size, (B, C, L)), jnp.int32),
+            "attention_mask": jnp.ones((B, C, L), jnp.int32)},
+        graph=BatchedGraphs(
+            concept_ids=jnp.asarray(rng.integers(1, 32, (G, N)), jnp.int32),
+            node_types=jnp.asarray(rng.integers(0, 4, (G, N)), jnp.int32),
+            node_scores=jnp.asarray(rng.standard_normal((G, N)), jnp.float32),
+            num_nodes=jnp.full((G,), N, jnp.int32),
+            edge_src=jnp.asarray(rng.integers(0, N, (G, E)), jnp.int32),
+            edge_dst=jnp.asarray(rng.integers(0, N, (G, E)), jnp.int32),
+            edge_type=jnp.asarray(rng.integers(0, 6, (G, E)), jnp.int32),
+            edge_mask=jnp.ones((G, E), bool)),
+        labels=jnp.asarray(rng.integers(0, C, (B,)), jnp.int32))
+
+    key = jax.random.PRNGKey(0)
+    from qagnn_tpu.utils.initialization import init_variables
+    params_probe = init_variables(model, key, batch.lm_inputs,
+                                  batch.graph)["params"]
+    optimizer = build_train_optimizer(
+        params_probe, optim="radam", encoder_lr=1e-3, decoder_lr=1e-3)
+    state = init_train_state(model, optimizer, key, batch)
+    step = make_train_step(model, optimizer)
+
+    s1, m1 = step(state, batch, False)          # frozen epoch
+    enc0 = jax.tree.leaves(state.params["encoder"])
+    enc1 = jax.tree.leaves(s1.params["encoder"])
+    for a, b in zip(enc0, enc1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # encoder optimizer moments untouched too
+    for a, b in zip(jax.tree.leaves(state.opt_state.encoder),
+                    jax.tree.leaves(s1.opt_state.encoder)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the decoder DID move
+    dec_moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(state.params["decoder"]),
+                        jax.tree.leaves(s1.params["decoder"])))
+    assert dec_moved
+
+    s2, m2 = step(s1, batch, True)              # unfrozen epoch
+    enc2 = jax.tree.leaves(s2.params["encoder"])
+    enc_moved = any(not np.array_equal(np.asarray(a), np.asarray(b))
+                    for a, b in zip(enc1, enc2))
+    assert enc_moved
+    # both variants produce finite losses on the same state shapes
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
