@@ -24,6 +24,7 @@ Same math, different execution strategy:
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any
 
@@ -50,12 +51,14 @@ class _ProjParams(nn.Module):
     in_dim: int
     out_dim: int
     init_std: float
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self):
         k = self.param("kernel", normal_init(self.init_std),
                        (self.in_dim, self.out_dim))
-        b = self.param("bias", nn.initializers.zeros, (self.out_dim,))
+        b = self.param("bias", nn.initializers.zeros, (self.out_dim,)) \
+            if self.use_bias else None
         return k, b
 
 
@@ -75,12 +78,13 @@ class EdgeEncoder(nn.Module):
     init_std: float = 0.02
     dtype: jnp.dtype = jnp.float32   # compute dtype (bf16 on the TPU hot
                                      # path; BN stats stay f32 internally)
+    mesh: Any = None   # device mesh: the edge_ints kernels run shard_mapped
+                       # (parallel/edge_shard_pallas encoder wrappers)
 
     @nn.compact
     def __call__(self, edge_feat, weight=None, *, train: bool,
                  return_hidden: bool = False, edge_ints: tuple | None = None,
-                 n_rel: int | None = None, n_ntype: int | None = None,
-                 edge_rows_3d: tuple | None = None):
+                 n_rel: int | None = None, n_ntype: int | None = None):
         """edge_feat: (rows, F) with stat weight, OR a list of
         (rows_i, F)/weight_i parts sharing ONE BatchNorm statistic — the
         edge rows and self-loop rows are one population in the reference
@@ -104,15 +108,6 @@ class EdgeEncoder(nn.Module):
         in (W0, b0) given the masked feature histogram/second moment, so
         the BN-train gradient paths stay ordinary JAX autodiff. Implies
         return_hidden. Returns ((h_edge_t, h_self_rows), (W1, b1))."""
-        # edge_rows_3d = (edge_feat3d (G, E, F), edge_mask (G, E)):
-        # sharding-friendly XLA form of the edge side — used under a device
-        # mesh, where flattening to (G*E, F) rows would make GSPMD give up
-        # on the edge sharding and all-gather the whole array (measured: a
-        # 210 MB gather per step in tools/collective_audit.py). The BN
-        # statistic is contributed as a MomentPart from 3D masked
-        # reductions (clean psums) and the folded affine is applied in 3D.
-        # Implies return_hidden; edge_feat is then only the self-loop
-        # rows. Returns ((h_edge3d, h_self_rows), (W1, b1)).
         lin0_params = None
         if edge_ints is not None:
             lin0_params = _ProjParams(n_rel + 2 * n_ntype, self.hidden_size,
@@ -142,9 +137,27 @@ class EdgeEncoder(nn.Module):
             x0_self = jnp.dot(edge_feat.astype(cdt), w0.astype(cdt)) \
                 + b0.astype(cdt)
             interp = lowering_platform() != "tpu"
+            if self.mesh is not None:
+                # shard_map forms of the SAME kernels — edges split over
+                # (data, model); the caller pre-pads E to whole per-shard
+                # tiles (GSPMD can't partition the Mosaic calls directly)
+                from qagnn_tpu.parallel.edge_shard_pallas import (
+                    edge_feature_moments_sharded, edge_hidden_sharded)
+                moments_fn = functools.partial(
+                    edge_feature_moments_sharded, mesh=self.mesh,
+                    interpret=interp)
+                hidden_fn = lambda a, b: edge_hidden_sharded(
+                    etype, esrc, edst, ntype, w0, b0, a, b,
+                    n_rel, n_ntype, cdt, self.mesh, interp)
+            else:
+                moments_fn = functools.partial(edge_feature_moments,
+                                               interpret=interp)
+                hidden_fn = lambda a, b: edge_hidden(
+                    etype, esrc, edst, ntype, w0, b0, a, b,
+                    n_rel, n_ntype, cdt, interp)
             if train:
-                hist, M, n_e = edge_feature_moments(
-                    etype, esrc, edst, ntype, emask, n_rel, n_ntype, interp)
+                hist, M, n_e = moments_fn(
+                    etype, esrc, edst, ntype, emask, n_rel, n_ntype)
                 s1, s2 = analytic_edge_moments(w0, b0, hist, M, n_e)
                 res, (a, b) = bn([MomentPart(s1, s2, n_e),
                                   (x0_self, None)],
@@ -156,36 +169,8 @@ class EdgeEncoder(nn.Module):
                                  use_running_average=True,
                                  return_affine=True)
                 h_self = jax.nn.relu(res[0])
-            h_edge_t = edge_hidden(etype, esrc, edst, ntype, w0, b0, a, b,
-                                   n_rel, n_ntype, cdt, interp)
+            h_edge_t = hidden_fn(a, b)
             return (h_edge_t, h_self), (k1, b1)
-
-        if edge_rows_3d is not None:
-            assert return_hidden
-            from qagnn_tpu.models.norm import MomentPart
-
-            feat3d, emask = edge_rows_3d
-            f32 = jnp.float32
-            x0_edge = lin0(feat3d.astype(cdt))                # (G, E, D)
-            x0_self = lin0(edge_feat.astype(cdt))             # (G*N, D)
-            if train:
-                w = emask.astype(f32)
-                x0f = x0_edge.astype(f32)
-                s1 = jnp.einsum("gef,ge->f", x0f, w)
-                s2 = jnp.einsum("gef,ge->f", jnp.square(x0f), w)
-                n_e = jnp.sum(w)
-                res, (a, b) = bn([MomentPart(s1, s2, n_e),
-                                  (x0_self, None)],
-                                 use_running_average=False,
-                                 return_affine=True)
-                h_self = jax.nn.relu(res[1])
-            else:
-                res, (a, b) = bn([(x0_self, None)],
-                                 use_running_average=True,
-                                 return_affine=True)
-                h_self = jax.nn.relu(res[0])
-            h_edge = jax.nn.relu(x0_edge * a.astype(cdt) + b.astype(cdt))
-            return (h_edge, h_self), (k1, b1)
 
         multi = isinstance(edge_feat, (tuple, list))
         parts = list(edge_feat) if multi else [(edge_feat, weight)]
@@ -245,7 +230,8 @@ class GATConvE(nn.Module):
         d, h = self.emb_dim, self.head_count
         assert d % h == 0
         dph = d // h
-        G, N = x.shape[0], x.shape[1]
+        split = isinstance(x, tuple)   # (X, node_extra) not yet concatenated
+        G, N = (x[0] if split else x).shape[:2]
 
         # Decomposed projections (reference modeling/modeling_qagnn.py:464-466):
         #   key   = W_k [x_i ‖ e]  =  (A_k x)_i + B_k e
@@ -253,13 +239,39 @@ class GATConvE(nn.Module):
         #   query = W_q x_j / sqrt(dph)
         # Node-side GEMMs run over N rows; only the edge-embedding side runs
         # over E rows. The bias lives on the edge side so it's added once.
-        key_x_d = nn.Dense(d, use_bias=False, dtype=self.dtype,
-                           kernel_init=normal_init(self.init_std), name="key_x")
-        msg_x_d = nn.Dense(d, use_bias=False, dtype=self.dtype,
-                           kernel_init=normal_init(self.init_std), name="msg_x")
-        query_d = nn.Dense(d, dtype=self.dtype,
-                           kernel_init=normal_init(self.init_std),
-                           name="query")
+        # With x = (X, node_extra) the concat is split through the kernels
+        # (linear-over-concat = sum of linears): the (G, N, 2D) array never
+        # materializes, at identical param trees (key_x/{kernel} etc.).
+        cdt0 = self.dtype
+        if split:
+            Xb, extra = x
+            din = Xb.shape[-1] + extra.shape[-1]
+            half_x = Xb.shape[-1]
+            wqx, bqx = _ProjParams(din, d, self.init_std, name="query")()
+            wkx, _ = _ProjParams(din, d, self.init_std, use_bias=False,
+                                 name="key_x")()
+            wmx, _ = _ProjParams(din, d, self.init_std, use_bias=False,
+                                 name="msg_x")()
+
+            def split_proj(w, b=None):
+                out = jnp.dot(Xb.astype(cdt0), w[:half_x].astype(cdt0)) \
+                    + jnp.dot(extra.astype(cdt0), w[half_x:].astype(cdt0))
+                return out if b is None else out + b.astype(cdt0)
+
+            query_x = split_proj(wqx, bqx)
+            key_x = split_proj(wkx)
+            msg_x = split_proj(wmx)
+        else:
+            key_x_d = nn.Dense(d, use_bias=False, dtype=self.dtype,
+                               kernel_init=normal_init(self.init_std),
+                               name="key_x")
+            msg_x_d = nn.Dense(d, use_bias=False, dtype=self.dtype,
+                               kernel_init=normal_init(self.init_std),
+                               name="msg_x")
+            query_d = nn.Dense(d, dtype=self.dtype,
+                               kernel_init=normal_init(self.init_std),
+                               name="query")
+            query_x, key_x, msg_x = query_d(x), key_x_d(x), msg_x_d(x)
 
         backend = self.backend or default_backend()
         assert not (chain_out or chain_in is not None
@@ -309,7 +321,7 @@ class GATConvE(nn.Module):
             def proj(t, w, b):   # nn.Dense semantics: compute in cdt
                 return jnp.dot(t.astype(cdt), w.astype(cdt)) + b.astype(cdt)
 
-            nq = query_d(x) / math.sqrt(dph)            # (G, N, d)
+            nq = query_x / math.sqrt(dph)               # (G, N, d)
             if chain_in is not None:
                 # the previous layer's passthrough: identical values, padded
                 # once; routing edge_emb's cotangent through the chain
@@ -332,7 +344,7 @@ class GATConvE(nn.Module):
                         emb_p, ((0, 0), (0, 0), (0, E_pad - emb_p.shape[2])))
             from qagnn_tpu.utils.tpu import lowering_platform
             interp = lowering_platform() != "tpu"
-            args = (nq, key_x_d(x), msg_x_d(x), emb_p,
+            args = (nq, key_x, msg_x, emb_p,
                     wke, bke, wme, bme,
                     proj(self_emb, wke, bke), proj(self_emb, wme, bme),
                     src_p, dst_p, mask_p)
@@ -365,9 +377,9 @@ class GATConvE(nn.Module):
             def heads(t):
                 return t.reshape(t.shape[:-1] + (h, dph))
 
-            node_key = heads(key_x_d(x))                # (G, N, H, dph)
-            node_msg = heads(msg_x_d(x))
-            node_query = heads(query_d(x) / math.sqrt(dph))
+            node_key = heads(key_x)                     # (G, N, H, dph)
+            node_msg = heads(msg_x)
+            node_query = heads(query_x / math.sqrt(dph))
 
             edge_key_bias = heads(key_e_d(edge_emb))    # (G, E, H, dph)
             edge_msg_bias = heads(msg_e_d(edge_emb))
@@ -484,14 +496,26 @@ class QAGNNMessagePassing(nn.Module):
         # msg_e projections (emb_proj).
         use_fused = ((self.backend or default_backend()) == "pallas"
                      and not return_alpha)
-        # any mesh -> the GAT layers run via shard_map and the encoder
-        # takes its XLA form (see GATConvE / collective_audit rationale)
+        # any mesh -> encoder kernels AND GAT layers run via shard_map
+        # (GSPMD cannot partition Mosaic calls; see GATConvE /
+        # tools/collective_audit.py rationale)
         sharded = self.mesh is not None and use_fused
         enc = EdgeEncoder(hidden_size=D, num_updates=self.k,
                           init_std=self.init_std, dtype=self.dtype,
+                          mesh=self.mesh if sharded else None,
                           name="edge_encoder")
         emb_proj = None
-        if use_fused and not sharded:
+        if use_fused:
+            if sharded:
+                # pre-pad E once so every model shard is a whole number
+                # of kernel tiles — the encoder AND GAT shard_maps then
+                # agree on the split; GATConvE's own pad becomes a no-op
+                from qagnn_tpu.ops.pallas_gat import pad_edges_to_tile
+                n_model = self.mesh.shape.get(MODEL_AXIS, 1)
+                _, edge_src, edge_dst, edge_mask, edge_type = \
+                    pad_edges_to_tile(
+                        edge_src, edge_dst, edge_mask.astype(self.dtype),
+                        edge_type, dtype=self.dtype, shards=n_model)
             (edge_emb, self_emb), emb_proj = enc(
                 self_feat.reshape(G * N, nfeat), train=train,
                 return_hidden=True,
@@ -499,30 +523,6 @@ class QAGNNMessagePassing(nn.Module):
                            edge_mask),
                 n_rel=self.n_etype + 1, n_ntype=self.n_ntype)
             # edge_emb: (G, D, E_pad) transposed hidden states
-            self_emb = self_emb.reshape(G, N, D)
-        elif use_fused:
-            # Device-mesh path: the fused edge-encoder kernels are Mosaic
-            # calls GSPMD cannot partition, so the encoder runs its XLA
-            # 3D form (one-hot features + Dense linear_0 + MomentPart BN
-            # — everything stays (G, E, .)-shaped so GSPMD keeps the
-            # data/model sharding; flattening to rows made it all-gather
-            # the whole array), while linear_1 still composes into the
-            # sharded GAT kernels' in-kernel projections via emb_proj.
-            # The GAT layers run the production Pallas kernels per shard
-            # (parallel/edge_shard_pallas).
-            e_rel = jax.nn.one_hot(edge_type, self.n_etype + 1, dtype=fdt)
-            head_t = jnp.take_along_axis(node_type, edge_src, axis=1)
-            tail_t = jnp.take_along_axis(node_type, edge_dst, axis=1)
-            e_head = jax.nn.one_hot(head_t, self.n_ntype, dtype=fdt)
-            e_tail = jax.nn.one_hot(tail_t, self.n_ntype, dtype=fdt)
-            edge_feat = jnp.concatenate([e_rel, e_head, e_tail], axis=-1)
-            (edge_emb, self_emb), emb_proj = enc(
-                self_feat.reshape(G * N, nfeat), train=train,
-                return_hidden=True,
-                edge_rows_3d=(edge_feat, edge_mask))
-            # pre-linear_1 hidden states, transposed to the kernels'
-            # (G, D, E) layout (a local dim permutation under GSPMD)
-            edge_emb = jnp.swapaxes(edge_emb, 1, 2)
             self_emb = self_emb.reshape(G, N, D)
         else:
             # One-hot features are exact in any float dtype — build them
@@ -554,11 +554,16 @@ class QAGNNMessagePassing(nn.Module):
         chain = None
         for i in range(self.k):
             chain_out = use_fused and not sharded and i < self.k - 1
+            # fused path: hand (X, node_extra) unconcatenated — the layer
+            # splits its projections over the two halves, so the
+            # (G, N, 2D) concat (and its cotangent slice) never exists
+            xin = (X, node_extra) if use_fused \
+                else jnp.concatenate([X, node_extra], axis=2)
             X = GATConvE(emb_dim=D, head_count=self.head_count,
                          init_std=self.init_std, backend=self.backend,
                          dtype=self.dtype, mesh=self.mesh,
                          name=f"gnn_layer_{i}")(
-                jnp.concatenate([X, node_extra], axis=2),
+                xin,
                 edge_src, edge_dst, edge_mask, edge_emb, self_emb,
                 train=train, return_alpha=return_alpha,
                 chain_in=chain, chain_out=chain_out, emb_proj=emb_proj,

@@ -263,8 +263,11 @@ def _hidden_vjp_fwd(edge_type, src, dst, node_type, w0, b0, a, b,
     return h, (edge_type, src, dst, node_type, w0, b0, a, b)
 
 
-def _hidden_vjp_bwd(n_rel, n_ntype, out_dtype, interpret, res, dh):
-    edge_type, src, dst, node_type, w0, b0, a, b = res
+def _hidden_bwd_impl(edge_type, src, dst, node_type, w0, b0, a, b, dh,
+                     n_rel, n_ntype, out_dtype, interpret):
+    """Raw f32 (dw0, db0, da, db) accumulated over (this shard's) edges —
+    shared by the single-device VJP and the shard_map wrapper
+    (parallel/edge_shard_pallas.edge_hidden_sharded)."""
     G, E = edge_type.shape
     N = node_type.shape[1]
     D = w0.shape[1]
@@ -285,7 +288,7 @@ def _hidden_vjp_bwd(n_rel, n_ntype, out_dtype, interpret, res, dh):
     h_spec = pl.BlockSpec((1, D, tile), lambda g, t: (g, 0, t),
                           memory_space=pltpu.VMEM)
 
-    dw0, db0, da, db = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_hidden_bwd_kernel, n_rel=n_rel, n_ntype=n_ntype,
                           n_nodes=N),
         grid=(G, E_pad // tile),
@@ -300,6 +303,13 @@ def _hidden_vjp_bwd(n_rel, n_ntype, out_dtype, interpret, res, dh):
         interpret=interpret,
     )(rel3, src3, dst3, nt3, w0, b0.reshape(D, 1), a.reshape(D, 1),
       b.reshape(D, 1), dh.astype(jnp.dtype(out_dtype)))
+
+
+def _hidden_vjp_bwd(n_rel, n_ntype, out_dtype, interpret, res, dh):
+    edge_type, src, dst, node_type, w0, b0, a, b = res
+    dw0, db0, da, db = _hidden_bwd_impl(
+        edge_type, src, dst, node_type, w0, b0, a, b, dh,
+        n_rel, n_ntype, out_dtype, interpret)
 
     zero_i = lambda x: np.zeros(x.shape, jax.dtypes.float0)
     return (zero_i(edge_type), zero_i(src), zero_i(dst), zero_i(node_type),

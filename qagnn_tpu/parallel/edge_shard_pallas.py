@@ -202,3 +202,111 @@ def _sharded_vjp_bwd(heads, mesh, interpret, res, g):
 
 
 pallas_edge_sharded_projected.defvjp(_sharded_vjp_fwd, _sharded_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused edge-encoder kernels under the same (data, model) partitioning
+# ---------------------------------------------------------------------------
+#
+# The encoder kernels (qagnn_tpu.ops.pallas_edge_encoder) are pure maps /
+# reductions over edges, so their sharded forms are trivial: each shard
+# runs the kernels on its (G/d, E/m) slice; the moments and the parameter
+# cotangents psum over both axes. As with the GAT op, the custom_vjp sits
+# OUTSIDE the shard_maps (pallas is opaque to shard_map transpose). The
+# caller must pre-pad E so every model shard is a whole number of kernel
+# tiles (ops.pallas_gat.pad_edges_to_tile(shards=...)).
+
+_IDX2 = P(DATA_AXIS, MODEL_AXIS)
+_NT2 = P(DATA_AXIS, None)
+_H3 = P(DATA_AXIS, None, MODEL_AXIS)
+
+
+def edge_feature_moments_sharded(edge_type, src, dst, node_type, mask,
+                                 n_rel, n_ntype, mesh, interpret=False):
+    """Sharded masked feature histogram / second moment / row count —
+    data-only (outputs are stop-gradient in the single-device op too)."""
+    from qagnn_tpu.ops import pallas_edge_encoder as pe
+
+    def local(etype, src, dst, ntype, mask):
+        h, M, n = pe.edge_feature_moments(
+            etype, src, dst, ntype, mask, n_rel, n_ntype, interpret)
+        both = (DATA_AXIS, MODEL_AXIS)
+        return (jax.lax.psum(h, both), jax.lax.psum(M, both),
+                jax.lax.psum(n, both))
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(_IDX2, _IDX2, _IDX2, _NT2, _IDX2),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )(edge_type, src, dst, node_type, mask)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def edge_hidden_sharded(edge_type, src, dst, node_type, w0, b0, a, b,
+                        n_rel, n_ntype, out_dtype, mesh, interpret=False):
+    """h = relu(a * (W0^T feat + b0) + b) as (G, D, E), edge-partitioned:
+    a pure per-edge map, so the forward needs NO collectives; the backward
+    psums the four parameter cotangents over both mesh axes. E must
+    already divide into model-axis shards of whole kernel tiles."""
+    return _enc_fwd_sm(n_rel, n_ntype, out_dtype, mesh, interpret)(
+        edge_type, src, dst, node_type, w0, b0, a, b)
+
+
+@functools.cache
+def _enc_fwd_sm(n_rel, n_ntype, out_dtype, mesh, interpret):
+    from qagnn_tpu.ops import pallas_edge_encoder as pe
+
+    def local(etype, src, dst, ntype, w0, b0, a, b):
+        return pe._hidden_impl(etype, src, dst, ntype, w0, b0, a, b,
+                               n_rel, n_ntype, out_dtype, interpret)
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(_IDX2, _IDX2, _IDX2, _NT2, _REP2, _REP1, _REP1, _REP1),
+        out_specs=_H3,
+        check_vma=False,
+    )
+
+
+@functools.cache
+def _enc_bwd_sm(n_rel, n_ntype, out_dtype, mesh, interpret):
+    from qagnn_tpu.ops import pallas_edge_encoder as pe
+
+    def local(etype, src, dst, ntype, w0, b0, a, b, dh):
+        dw0, db0, da, db = pe._hidden_bwd_impl(
+            etype, src, dst, ntype, w0, b0, a, b, dh,
+            n_rel, n_ntype, out_dtype, interpret)
+        both = (DATA_AXIS, MODEL_AXIS)
+        return (jax.lax.psum(dw0, both), jax.lax.psum(db0, both),
+                jax.lax.psum(da, both), jax.lax.psum(db, both))
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(_IDX2, _IDX2, _IDX2, _NT2, _REP2, _REP1, _REP1, _REP1,
+                  _H3),
+        out_specs=(P(None, None), P(None, None), P(None, None),
+                   P(None, None)),
+        check_vma=False,
+    )
+
+
+def _enc_vjp_fwd(edge_type, src, dst, node_type, w0, b0, a, b,
+                 n_rel, n_ntype, out_dtype, mesh, interpret):
+    h = _enc_fwd_sm(n_rel, n_ntype, out_dtype, mesh, interpret)(
+        edge_type, src, dst, node_type, w0, b0, a, b)
+    return h, (edge_type, src, dst, node_type, w0, b0, a, b)
+
+
+def _enc_vjp_bwd(n_rel, n_ntype, out_dtype, mesh, interpret, res, dh):
+    edge_type, src, dst, node_type, w0, b0, a, b = res
+    dw0, db0, da, db = _enc_bwd_sm(n_rel, n_ntype, out_dtype, mesh,
+                                   interpret)(
+        edge_type, src, dst, node_type, w0, b0, a, b, dh)
+    zero_i = lambda x: np.zeros(x.shape, jax.dtypes.float0)
+    return (zero_i(edge_type), zero_i(src), zero_i(dst), zero_i(node_type),
+            dw0.astype(w0.dtype), db0[:, 0].astype(b0.dtype),
+            da[:, 0].astype(a.dtype), db[:, 0].astype(b.dtype))
+
+
+edge_hidden_sharded.defvjp(_enc_vjp_fwd, _enc_vjp_bwd)
