@@ -483,10 +483,14 @@ def main():
     baseline = 1e8
     # measured speed-of-light ceiling for the one-hot formulation on one
     # v5e chip at these shapes (README "Roofline": FLOP-bound, 0.61 MXU
-    # padding tax on the 200-wide dims)
+    # padding tax on the 200-wide dims); the implementable ceiling also
+    # prices in the backward's recompute-vs-materialize projection FLOPs
+    # (README "Revised ceiling": 84M x 1.43/1.60)
     sol_ceiling = 8.4e7
+    impl_ceiling = 7.5e7
     if not args.small:
         extras["vs_sol_ceiling"] = round(value / sol_ceiling, 3)
+        extras["vs_impl_ceiling"] = round(value / impl_ceiling, 3)
     print(json.dumps({
         "metric": "gnn_5layer_train_step_edges_per_s_per_chip",
         "value": round(value, 1),

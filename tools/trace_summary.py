@@ -31,13 +31,19 @@ def main():
             pid_names[e["pid"]] = e["args"].get("name", "")
     device_pids = {p for p, n in pid_names.items()
                    if "TPU" in n or "Device" in n or "/device" in n.lower()}
+    # host-side python/runtime rows that leak into traces without clear
+    # device pids — never device op time
+    host_prefixes = ("$", "np.", "np ", "PjitFunction", "ParseArguments",
+                     "DevicePut", "jax.", "python")
     for e in events:
         if e.get("ph") != "X":
             continue
         if device_pids and e.get("pid") not in device_pids:
             continue
-        dur = e.get("dur", 0) / 1e3  # ms
         name = e.get("name", "?")
+        if not device_pids and name.startswith(host_prefixes):
+            continue
+        dur = e.get("dur", 0) / 1e3  # ms
         by_name[name] += dur
         counts[name] += 1
         total += dur
