@@ -26,6 +26,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--skip-driver", action="store_true")
+    ap.add_argument("--all", action="store_true",
+                    help="also seed the driver-eval and roberta-base "
+                    "driver programs (frozen + unfrozen) — a long cold "
+                    "compile session, but every bench mode starts warm "
+                    "afterwards")
     args = ap.parse_args()
 
     import jax
@@ -42,11 +47,23 @@ def main():
     a.iters = 6
     a.small = args.small
 
-    for mode, runner in (("gnn", bench.run_gnn), ("driver", bench.run_driver)):
-        if mode == "driver" and args.skip_driver:
-            continue
+    jobs = [("gnn", bench.run_gnn, {})]
+    if not args.skip_driver:
+        jobs.append(("driver", bench.run_driver, {}))
+        if args.all:
+            jobs += [
+                ("driver-eval", bench.run_driver, {"eval": True}),
+                ("driver-roberta-base", bench.run_driver,
+                 {"encoder": "roberta-base"}),
+                ("driver-roberta-base-frozen", bench.run_driver,
+                 {"encoder": "roberta-base", "frozen_encoder": True}),
+            ]
+    for mode, runner, overrides in jobs:
+        aj = _argparse.Namespace(**vars(a))
+        for k, v in overrides.items():
+            setattr(aj, k, v)
         t0 = time.perf_counter()
-        _, compile_s = runner(a, None)
+        _, compile_s = runner(aj, None)
         print(f"seeded {mode}: compile {compile_s:.1f}s "
               f"(total {time.perf_counter() - t0:.1f}s)", flush=True)
     cache = "/tmp/qagnn_tpu_jax_cache"
