@@ -781,11 +781,13 @@ def _bwd1_proj_kernel(gc_ref, nms_ref, emb_ref, wme_ref, bme_ref,
     output, so the cross-layer cotangent sum never exists as an XLA add."""
     refs = list(refs)
     carry_ref = refs.pop(0) if has_carry else None
-    # self_init: the dense self-loop cotangents [d_msg_self ‖ dscale_self]
-    # seed the merged scatter accumulator at t == 0, replacing the XLA
-    # adds over (G, N, HD+H) f32 arrays (single-chip path only — the
-    # sharded path adds the replicated self terms once after its psum)
-    dself_ref = refs.pop(0) if self_init else None
+    # self_init: the dense self-loop cotangents (d_msg_self, dscale_self)
+    # seed the merged scatter accumulator at t == 0 via two sliced
+    # stores, replacing the XLA adds AND the (G, N, HD+H) concat over
+    # f32 arrays (single-chip path only — the sharded path adds the
+    # replicated self terms once after its psum)
+    dmsg_self_ref = refs.pop(0) if self_init else None
+    da_es_ref = refs.pop(0) if self_init else None
     (demb_ref, dalpha_ref, dnmsc_ref, dwme_ref, dbme_ref) = refs
     f32 = jnp.float32
     cdt = nms_ref.dtype
@@ -796,7 +798,8 @@ def _bwd1_proj_kernel(gc_ref, nms_ref, emb_ref, wme_ref, bme_ref,
     @pl.when(t == 0)
     def _():
         if self_init:
-            dnmsc_ref[0] = dself_ref[0]
+            dnmsc_ref[0, :, :hd] = dmsg_self_ref[0]
+            dnmsc_ref[0, :, hd:] = da_es_ref[0]
         else:
             dnmsc_ref[0] = jnp.zeros_like(dnmsc_ref[0])
 
@@ -1087,9 +1090,8 @@ def _proj_bwd_pass1(nq, nk, nm, edge_emb, w_ke, b_ke, w_me, b_me, skb, smb,
         b1_specs.append(sp["emb"])
         b1_aliases = {10: 0}
     if fold_self:
-        b1_inputs.append(jnp.concatenate(
-            [d_msg_self, d_alpha_self * e_self], axis=-1))
-        b1_specs.append(sp["nodesc"])
+        b1_inputs += [d_msg_self, d_alpha_self * e_self]
+        b1_specs += [sp["node"], sp["nh"]]
     demb_m, dalpha, dnmsc, dw_me, db_me2 = pl.pallas_call(
         functools.partial(_bwd1_proj_kernel, n_nodes=N, hd=HD, heads=heads,
                           has_carry=carry is not None, self_init=fold_self),
