@@ -433,7 +433,14 @@ def eval_detail(cfg: TrainConfig) -> dict:
     from qagnn_tpu.utils.checkpoint import load_checkpoint
 
     state_dict, saved_cfg = load_checkpoint(cfg.load_model_path)
-    saved_cfg.encoder_load = None  # weights come from the checkpoint
+    # encoder_load is kept when the path still exists: the checkpoint
+    # supplies the WEIGHTS (params below replace whatever the builder
+    # loaded), but on offline hosts the encoder_load directory is also
+    # the only TOKENIZER source — nulling it unconditionally broke
+    # eval_detail anywhere the hub is unreachable.
+    if saved_cfg.encoder_load and not os.path.exists(
+            str(saved_cfg.encoder_load)):
+        saved_cfg.encoder_load = None
     dataset, model, _, _ = build_model_and_data(saved_cfg)
     eval_step = make_eval_step(model, encoder_layer_id=saved_cfg.encoder_layer)
 

@@ -47,7 +47,7 @@ def test_production_stack_overfits_on_chip(tmp_path):
     cfg = TrainConfig(
         dataset="csqa", encoder="bert-base-uncased", encoder_load=enc_dir,
         encoder_dtype="bfloat16", inhouse=False,
-        save_dir=str(tmp_path / "out"), save_model=False,
+        save_dir=str(tmp_path / "out"), save_model=True, detail_batches=0,
         batch_size=4, mini_batch_size=4, eval_batch_size=4,
         n_epochs=150, max_epochs_before_stop=1000,
         max_seq_len=24,
@@ -74,6 +74,19 @@ def test_production_stack_overfits_on_chip(tmp_path):
     # the loss actually moved (a frozen/broken backward would sit still)
     losses = result["train_losses"]
     assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
+
+    # checkpoint -> eval_detail round-trip ON CHIP (orbax restore of TPU
+    # arrays + the driver's standalone eval path, reference
+    # qagnn.py:343-430); tokenizer comes from the encoder_load dir
+    import dataclasses
+    import os as _os
+    cfg_eval = dataclasses.replace(
+        cfg, mode="eval_detail",
+        load_model_path=_os.path.join(cfg.save_dir, "checkpoint"),
+        save_dir=str(tmp_path / "out_eval"))
+    _os.makedirs(cfg_eval.save_dir, exist_ok=True)
+    r2 = cli.eval_detail(cfg_eval)
+    assert r2["dev_acc"] == 1.0, r2
 
 
 def test_roberta_base_driver_step_on_chip():
